@@ -1,0 +1,237 @@
+"""Naive-Bayes language-ID model: container, batch scorer, (de)serialization.
+
+Single-process NumPy engine with the exact semantics of saffsd/langid.py's
+inference path (``langid/langid.py``):
+
+* ``instance2fv`` (~L230): UTF-8 encode → DFA walk → state-visit counts →
+  expand to feature counts via tk_output. Here batched: one padded byte
+  matrix per Arrow batch, vectorized masked walk, `np.bincount` over
+  (doc, state) pairs, CSR run-expansion — no per-row Python in the hot
+  loop beyond the O(max_doc_len) masked-vector steps.
+* ``nb_classprobs`` (~L245): pd = fv @ nb_ptc + nb_pc — ONE dense matmul
+  for the whole batch.
+* ``norm_probs`` (~L115): reference formula 1/np.exp(pd[None,:]-pd[:,None])
+  .sum(1) is mathematically softmax(pd); we compute the numerically stable
+  equivalent exp(pd-max)/sum(exp(pd-max)) (tested equal to the reference
+  formula to 1e-12 in test_core_model.py).
+* ``set_languages`` (~L180): restricting classes SLICES nb_ptc/nb_pc so the
+  argmax renormalizes over fewer classes (a post-hoc filter would NOT be
+  equivalent — SURVEY.md §2.2 P2).
+
+This module is also the TEST ORACLE: the Spark pipeline's Arrow UDF calls
+exactly this code per batch, so Spark-vs-oracle equality checks are
+meaningful (same float order-of-ops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from .scanner import DFA
+
+DEFAULT_MODEL_PATH = str(Path(__file__).resolve().parent.parent / "data" / "model.npz")
+
+
+@dataclass
+class NBModel:
+    nb_ptc: np.ndarray  # float64[nfeats, nclasses] log P(t|c)
+    nb_pc: np.ndarray  # float64[nclasses] log prior
+    nb_classes: list[str]
+    features: list[bytes]
+    nextmove: np.ndarray  # uint32[nstates*256]
+    out_indptr: np.ndarray  # int64[nstates+1]
+    out_feats: np.ndarray  # int32[nnz]
+
+    @property
+    def nb_numfeats(self) -> int:
+        return self.nb_ptc.shape[0]
+
+    @property
+    def nstates(self) -> int:
+        return len(self.out_indptr) - 1
+
+    # ------------------------------------------------------------- io
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            nb_ptc=self.nb_ptc,
+            nb_pc=self.nb_pc,
+            nb_classes=np.array(self.nb_classes, dtype="U8"),
+            features=np.array([f.hex() for f in self.features], dtype="U8"),
+            nextmove=self.nextmove,
+            out_indptr=self.out_indptr,
+            out_feats=self.out_feats,
+        )
+
+    @classmethod
+    def load(cls, path: str = DEFAULT_MODEL_PATH) -> "NBModel":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            nb_ptc=z["nb_ptc"],
+            nb_pc=z["nb_pc"],
+            nb_classes=[str(c) for c in z["nb_classes"]],
+            features=[bytes.fromhex(h) for h in z["features"]],
+            nextmove=z["nextmove"].astype(np.uint32),
+            out_indptr=z["out_indptr"].astype(np.int64),
+            out_feats=z["out_feats"].astype(np.int64),
+        )
+
+    @classmethod
+    def from_dfa(
+        cls,
+        dfa: DFA,
+        nb_ptc: np.ndarray,
+        nb_pc: np.ndarray,
+        classes: list[str],
+        features: list[bytes],
+    ) -> "NBModel":
+        return cls(
+            nb_ptc=nb_ptc,
+            nb_pc=nb_pc,
+            nb_classes=classes,
+            features=features,
+            nextmove=dfa.nextmove,
+            out_indptr=dfa.out_indptr,
+            out_feats=dfa.out_feats.astype(np.int64),
+        )
+
+    # ------------------------------------------------ language subset
+    def set_languages(self, langs: list[str]) -> "NBModel":
+        """Return a model restricted to `langs` (matrix slicing, as the
+        reference's set_languages does — renormalizes the argmax)."""
+        unknown = [l for l in langs if l not in self.nb_classes]
+        if unknown:
+            raise ValueError(f"unknown languages: {unknown}")
+        mask = [self.nb_classes.index(l) for l in langs]
+        return NBModel(
+            nb_ptc=self.nb_ptc[:, mask],
+            nb_pc=self.nb_pc[mask],
+            nb_classes=list(langs),
+            features=self.features,
+            nextmove=self.nextmove,
+            out_indptr=self.out_indptr,
+            out_feats=self.out_feats,
+        )
+
+    # ------------------------------------------------- featurization
+    def instance2fv(self, text: str | bytes) -> np.ndarray:
+        """Single-doc count vector — mirrors langid.py instance2fv (~L230)."""
+        return self.batch_fv([text])[0]
+
+    def batch_fv(
+        self, texts: list[str | bytes], max_bytes: int | None = None
+    ) -> np.ndarray:
+        """uint32 count matrix (B, nfeats) for a batch of documents."""
+        docs = [
+            (t.encode("utf-8", "surrogatepass") if isinstance(t, str) else t)[
+                : max_bytes if max_bytes else None
+            ]
+            for t in texts
+        ]
+        B = len(docs)
+        nfeats = self.nb_numfeats
+        fv = np.zeros((B, nfeats), dtype=np.float64)
+        if B == 0:
+            return fv
+        lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=B)
+        maxlen = int(lens.max(initial=0))
+        if maxlen == 0:
+            return fv
+        mat = np.zeros((B, maxlen), dtype=np.uint8)
+        for i, d in enumerate(docs):
+            if d:
+                mat[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+
+        # masked vectorized DFA walk: O(maxlen) steps of width B
+        nm = self.nextmove
+        states = np.zeros(B, dtype=np.int64)
+        seq = np.zeros((B, maxlen), dtype=np.int32)
+        col = np.arange(B)
+        for t in range(maxlen):
+            act = col[lens > t]
+            if act.size == 0:
+                break
+            st = nm[(states[act] << 8) + mat[act, t]].astype(np.int64)
+            states[act] = st
+            seq[act, t] = st
+
+        # (doc, state) visit counts in one bincount
+        valid = np.arange(maxlen)[None, :] < lens[:, None]
+        d_idx = np.broadcast_to(col[:, None], (B, maxlen))[valid]
+        s_idx = seq[valid].astype(np.int64)
+        nstates = self.nstates
+        pair = d_idx * nstates + s_idx
+        cnt = np.bincount(pair, minlength=B * nstates)
+        nz = np.flatnonzero(cnt)
+        if nz.size == 0:
+            return fv
+        c = cnt[nz].astype(np.float64)
+        dd = nz // nstates
+        ss = nz % nstates
+
+        # CSR run-expansion: visited state -> its output feature indices
+        start = self.out_indptr[ss]
+        run = (self.out_indptr[ss + 1] - start).astype(np.int64)
+        keep = run > 0
+        if not keep.any():
+            return fv
+        start, run, dd, c = start[keep], run[keep], dd[keep], c[keep]
+        total = int(run.sum())
+        # offsets within each run: arange(total) - repeat(cumsum_exclusive)
+        cum = np.concatenate(([0], np.cumsum(run)[:-1]))
+        within = np.arange(total) - np.repeat(cum, run)
+        feat_idx = self.out_feats[np.repeat(start, run) + within]
+        np.add.at(fv, (np.repeat(dd, run), feat_idx), np.repeat(c, run))
+        return fv
+
+    # ------------------------------------------------------ scoring
+    def nb_classprobs(self, fv: np.ndarray) -> np.ndarray:
+        """Log class scores: (B, nclasses) = fv @ nb_ptc + nb_pc."""
+        return fv @ self.nb_ptc + self.nb_pc
+
+    @staticmethod
+    def norm_probs(pd: np.ndarray) -> np.ndarray:
+        """Row-wise softmax == reference 1/np.exp(pd[None]-pd[:,None]).sum(1),
+        computed stably."""
+        m = pd.max(axis=-1, keepdims=True)
+        e = np.exp(pd - m)
+        return e / e.sum(axis=-1, keepdims=True)
+
+    def classify_batch(
+        self, texts: list[str | bytes], max_bytes: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(langs[str], conf_raw[f8], conf_norm[f8], nbytes[i64]) per doc.
+
+        Empty input → argmax of the prior alone (reference behavior: zero
+        count vector still gets pd = nb_pc).
+        """
+        fv = self.batch_fv(texts, max_bytes=max_bytes)
+        pd = self.nb_classprobs(fv)
+        idx = pd.argmax(axis=1)
+        conf_raw = pd[np.arange(len(idx)), idx]
+        conf_norm = self.norm_probs(pd)[np.arange(len(idx)), idx]
+        langs = np.array(self.nb_classes, dtype=object)[idx]
+        nbytes = np.fromiter(
+            (
+                len(t.encode("utf-8", "surrogatepass") if isinstance(t, str) else t)
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return langs, conf_raw, conf_norm, nbytes
+
+    def classify(self, text: str | bytes) -> tuple[str, float]:
+        """langid.py ``classify`` (~L500) single-doc API."""
+        langs, _raw, norm, _n = self.classify_batch([text])
+        return str(langs[0]), float(norm[0])
+
+    def rank(self, text: str | bytes) -> list[tuple[str, float]]:
+        """langid.py ``rank`` (~L270): all classes sorted by normalized prob."""
+        pd = self.nb_classprobs(self.batch_fv([text]))[0]
+        probs = self.norm_probs(pd)
+        order = np.argsort(-probs)
+        return [(self.nb_classes[i], float(probs[i])) for i in order]

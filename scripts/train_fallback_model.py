@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Train the deterministic fallback model + char-trigram LM and write them
+to langid_py_spark/data/{model.npz,lm.npz} (SURVEY.md §7 Milestone 0 Path B).
+
+Re-running always produces identical artifacts (seed=42 end-to-end).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from langid_py_spark.core.corpora import training_corpus  # noqa: E402
+from langid_py_spark.core.lm import train_lm  # noqa: E402
+from langid_py_spark.core.trainer import train_fallback_model  # noqa: E402
+
+
+def main() -> None:
+    out_dir = REPO / "langid_py_spark" / "data"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    t0 = time.time()
+    model = train_fallback_model()
+    model.save(str(out_dir / "model.npz"))
+    print(
+        f"model.npz: {model.nb_numfeats} feats, {len(model.nb_classes)} langs, "
+        f"{model.nstates} DFA states, {time.time() - t0:.1f}s"
+    )
+
+    t0 = time.time()
+    lm = train_lm([t for _, t in training_corpus()])
+    lm.save(str(out_dir / "lm.npz"))
+    print(f"lm.npz: {len(lm.tri_keys)} trigrams, {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
