@@ -1,0 +1,172 @@
+"""The flagship quality-filter pipeline (BASELINE.json::north_rule).
+
+One job, ONE shuffle:
+
+  scan(transcripts)                         # column-pruned parquet/Iceberg
+   └─ classify_batch (Arrow UDF)            # shuffle-free map
+   └─ perplexity (Arrow UDF)                # same stage
+   └─ heuristic rule columns + keep         # Catalyst exprs, codegen'd
+   └─ scrub chain (regexp_replace)          # Catalyst exprs
+   └─ two-stage SALTED conv-language vote   # THE shuffle (skew-safe)
+   └─ backjoin conv_lang to turns           # AQE picks broadcast at small
+                                            # conv counts, sort-merge at scale
+   └─ write partitioned by lang_bucket, sortWithinPartitions(conv_id,
+      turn_idx), dynamic partition overwrite + completion manifest
+      (resumable: completed buckets are never rewritten)
+
+Reference parity: the per-turn (lang, conf) reproduces
+langid/langid.py::classify exactly (scorer.py); everything else is the
+quality-filter shell the north rule mandates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from langid_py_spark import config as C
+from langid_py_spark.core.model import DEFAULT_MODEL_PATH
+from langid_py_spark.spark.perplexity import perplexity_udf
+from langid_py_spark.spark.rules import with_rules
+from langid_py_spark.spark.scorer import classify_udf
+from langid_py_spark.spark.scrub import scrub_expr
+from langid_py_spark.spark.vote import conversation_vote
+
+OUTPUT_COLUMNS = [
+    "conv_id",
+    "turn_idx",
+    "role",
+    "tool",
+    "ts",
+    "lang",
+    "conf_raw",
+    "conf_norm",
+    "nbytes",
+    "ppl",
+    *[r for r in C.RULE_NAMES],
+    "keep_heuristic",
+    "r_low_conf",
+    "r_high_ppl",
+    "keep",
+    "scrubbed_text",
+    "conv_lang",
+    "lang_bucket",
+]
+
+
+def score_turns(
+    turns: DataFrame,
+    model_path: str = DEFAULT_MODEL_PATH,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Shuffle-free scoring stage: classify + ppl + rules + scrub + keep."""
+    ld = classify_udf(model_path=model_path, langs=langs, max_bytes=C.SCORE_MAX_BYTES)
+    ppl = perplexity_udf()
+    df = turns.withColumn("_ld", ld(F.col("text"))).select(
+        "*", "_ld.lang", "_ld.conf_raw", "_ld.conf_norm", "_ld.nbytes"
+    ).drop("_ld")
+    df = df.withColumn("ppl", ppl(F.col("text")))
+    df = with_rules(df, "text")
+    df = (
+        df.withColumn("r_low_conf", F.col("conf_norm") < C.MIN_LANG_CONF)
+        .withColumn("r_high_ppl", F.col("ppl") > C.MAX_PERPLEXITY)
+        .withColumn(
+            "keep",
+            F.col("keep_heuristic") & ~F.col("r_low_conf") & ~F.col("r_high_ppl"),
+        )
+        .withColumn("scrubbed_text", scrub_expr(F.col("text")))
+    )
+    return df
+
+
+def full_pipeline(
+    turns: DataFrame,
+    model_path: str = DEFAULT_MODEL_PATH,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """score → salted vote → backjoin → final projection (unwritten)."""
+    scored = score_turns(turns, model_path=model_path, langs=langs)
+    conv = conversation_vote(scored).select("conv_id", "conv_lang")
+    joined = scored.join(conv, "conv_id", "left")
+    return joined.withColumn(
+        "lang_bucket", F.pmod(F.hash(F.col("lang")), F.lit(C.LANG_BUCKETS))
+    ).select(*OUTPUT_COLUMNS)
+
+
+# ------------------------------------------------------------ resumable IO
+def _manifest_path(out_path: str) -> Path:
+    return Path(out_path) / "_manifest.json"
+
+
+def read_manifest(out_path: str) -> dict:
+    p = _manifest_path(out_path)
+    if p.exists():
+        return json.loads(p.read_text())
+    return {"completed_buckets": [], "metrics": {}}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    model_path: str = DEFAULT_MODEL_PATH,
+    langs: list[str] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Execute + write, resumable per language bucket.
+
+    On resume, already-completed buckets are excluded from the write
+    (their files are never touched — FIXTURES.md invariant 3); dynamic
+    partition overwrite means a re-run of a failed bucket replaces only
+    that bucket's directory.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    manifest = read_manifest(out_path) if resume else {"completed_buckets": [], "metrics": {}}
+    done = set(manifest["completed_buckets"])
+    todo = [b for b in range(C.LANG_BUCKETS) if b not in done]
+    if not todo:
+        return manifest
+
+    turns = spark.read.parquet(in_path)
+    result = full_pipeline(turns, model_path=model_path, langs=langs)
+    if done:
+        result = result.filter(F.col("lang_bucket").isin(todo))
+
+    # No extra repartition before the write: the vote agg is the job's one
+    # semantic shuffle. Each task emits at most LANG_BUCKETS files; at
+    # cluster scale file counts are shaped by AQE-coalesced task counts
+    # (a repartition(n, lang_bucket, pmod(hash(conv_id), k)) exchange can
+    # be inserted for strict file-count control without changing results).
+    (
+        result.sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("lang_bucket")
+        .parquet(out_path)
+    )
+
+    # per-partition lineage/metrics rows (small: LANG_BUCKETS × langs)
+    metrics = (
+        spark.read.parquet(out_path)
+        .groupBy("lang_bucket")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum("nbytes").alias("total_bytes"),
+        )
+        .orderBy("lang_bucket")
+    )
+    metrics.write.mode("overwrite").parquet(os.path.join(out_path, "_metrics"))
+
+    mrows = {str(r["lang_bucket"]): {k: r[k] for k in ("n_turns", "n_kept", "n_convs", "total_bytes")} for r in metrics.collect()}
+    manifest["metrics"].update(mrows)
+    # the write job covered every `todo` bucket — a bucket that produced no
+    # rows is still complete (nothing to resume)
+    manifest["completed_buckets"] = sorted(done | set(todo))
+    manifest["input"] = in_path
+    _manifest_path(out_path).write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    return manifest

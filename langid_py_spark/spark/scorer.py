@@ -1,0 +1,85 @@
+"""Language-ID scoring as a vectorized Arrow UDF — the single hot operator.
+
+Spark realization of langid.py's inference chain (``classify`` →
+``instance2fv`` → ``nb_classprobs`` → ``norm_probs``, langid/langid.py
+~L230-L270): the whole chain runs ONCE per Arrow record batch inside a
+scalar pandas UDF; per-executor the model is loaded exactly once from a
+module-level cache (the scalable analogue of `sc.broadcast` — the .npz
+artifact ships with the package via ``spark-submit --py-files``, so 1000
+executors each read it locally instead of pulling a pickled broadcast
+from the driver).
+
+Shuffle-free by construction: `withColumn` over a scan is a pure map —
+no exchange appears in the plan (asserted in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from langid_py_spark.core.model import DEFAULT_MODEL_PATH, NBModel
+
+# per-executor singleton: {(path, langs): NBModel}
+_MODEL_CACHE: dict[tuple[str, tuple[str, ...] | None], NBModel] = {}
+
+CLASSIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("conf_raw", T.DoubleType()),
+        T.StructField("conf_norm", T.DoubleType()),
+        T.StructField("nbytes", T.LongType()),
+    ]
+)
+
+
+def _get_model(path: str, langs: tuple[str, ...] | None) -> NBModel:
+    key = (path, langs)
+    m = _MODEL_CACHE.get(key)
+    if m is None:
+        base = _MODEL_CACHE.get((path, None))
+        if base is None:
+            base = NBModel.load(path)
+            _MODEL_CACHE[(path, None)] = base
+        m = base.set_languages(list(langs)) if langs else base
+        _MODEL_CACHE[key] = m
+    return m
+
+
+def classify_udf(
+    model_path: str = DEFAULT_MODEL_PATH,
+    langs: list[str] | None = None,
+    max_bytes: int | None = 4096,
+):
+    """Build the scalar pandas UDF text -> struct(lang, conf_raw, conf_norm,
+    nbytes). `langs` pre-slices the model (reference set_languages
+    semantics); `max_bytes` bounds per-doc scoring cost at web scale."""
+    langs_t = tuple(langs) if langs else None
+
+    @pandas_udf(CLASSIFY_SCHEMA)
+    def _classify(texts: pd.Series) -> pd.DataFrame:
+        model = _get_model(model_path, langs_t)
+        vals = texts.fillna("").tolist()
+        lang, raw, norm, nbytes = model.classify_batch(vals, max_bytes=max_bytes)
+        return pd.DataFrame(
+            {"lang": lang, "conf_raw": raw, "conf_norm": norm, "nbytes": nbytes}
+        )
+
+    return _classify
+
+
+def with_language(
+    df,
+    text_col: str = "text",
+    out_col: str = "ld",
+    model_path: str = DEFAULT_MODEL_PATH,
+    langs: list[str] | None = None,
+    max_bytes: int | None = 4096,
+):
+    """df + struct column out_col = classify(text_col); flatten with
+    df.select("*", f"{out_col}.*")."""
+    udf = classify_udf(model_path=model_path, langs=langs, max_bytes=max_bytes)
+    return df.withColumn(out_col, udf(F.col(text_col)))

@@ -1,0 +1,153 @@
+"""End-to-end pipeline: golden-label F1, byte-exact scrub, determinism,
+resume-from-manifest semantics (FIXTURES.md invariants 1-3)."""
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from langid_py_spark import config as C
+from langid_py_spark.core.lm import TrigramLM
+from langid_py_spark.core.model import NBModel
+from langid_py_spark.spark.pipeline import full_pipeline, read_manifest, run_pipeline
+from langid_py_spark.spark.rules import python_rule_oracle
+from langid_py_spark.spark.scrub import python_scrub_oracle
+
+
+def golden_labels(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-process oracle: same model + rules + scrub, no Spark."""
+    model = NBModel.load()
+    lm = TrigramLM.load()
+    texts = pdf["text"].fillna("").tolist()
+    langs, raw, norm, nbytes = model.classify_batch(texts, max_bytes=C.SCORE_MAX_BYTES)
+    ppl = lm.perplexity_batch(texts, max_bytes=C.SCORE_MAX_BYTES)
+    rules = [python_rule_oracle(t) for t in texts]
+    keep = [
+        r["keep_heuristic"] and norm[i] >= C.MIN_LANG_CONF and ppl[i] <= C.MAX_PERPLEXITY
+        for i, r in enumerate(rules)
+    ]
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].values,
+            "turn_idx": pdf["turn_idx"].values,
+            "lang": langs,
+            "conf_norm": norm,
+            "keep": keep,
+            "scrubbed_text": [python_scrub_oracle(t) for t in texts],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark, fixture_path) -> pd.DataFrame:
+    out = full_pipeline(spark.read.parquet(fixture_path))
+    return out.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def golden(spark, fixture_path) -> pd.DataFrame:
+    pdf = (
+        spark.read.parquet(fixture_path)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    return golden_labels(pdf)
+
+
+def test_keep_f1_vs_golden(result, golden):
+    y, g = result["keep"].values, np.array(golden["keep"].values)
+    tp = (y & g).sum()
+    fp = (y & ~g).sum()
+    fn = (~y & g).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"keep/drop F1 {f1} < 0.99"
+
+
+def test_scrub_byte_exact_vs_golden(result, golden):
+    mism = (result["scrubbed_text"].values != golden["scrubbed_text"].values).sum()
+    assert mism == 0
+
+
+def test_lang_exact_vs_golden(result, golden):
+    assert (result["lang"].values == golden["lang"].values).all()
+    np.testing.assert_allclose(
+        result["conf_norm"].values, golden["conf_norm"].values, rtol=1e-12
+    )
+
+
+def test_conv_lang_consistency(result):
+    # every turn of a conversation carries the same conv_lang
+    n = result.groupby("conv_id")["conv_lang"].nunique()
+    assert (n == 1).all()
+
+
+def test_run_twice_identical(spark, fixture_path, tmp_path):
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    run_pipeline(spark, fixture_path, out1)
+    run_pipeline(spark, fixture_path, out2)
+    a = (
+        spark.read.parquet(out1)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        spark.read.parquet(out2)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_skips_completed_buckets(spark, fixture_path, tmp_path):
+    out = str(tmp_path / "resume")
+    m1 = run_pipeline(spark, fixture_path, out)
+    assert sorted(m1["completed_buckets"]) == list(range(C.LANG_BUCKETS))
+
+    # simulate a partial failure: mark two buckets incomplete, delete them
+    full = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    manifest = read_manifest(out)
+    manifest["completed_buckets"] = [b for b in manifest["completed_buckets"] if b not in (0, 1)]
+    (Path(out) / "_manifest.json").write_text(json.dumps(manifest))
+    for b in (0, 1):
+        shutil.rmtree(Path(out) / f"lang_bucket={b}", ignore_errors=True)
+
+    # record mtimes of untouched bucket files
+    untouched = {
+        p: p.stat().st_mtime_ns
+        for p in Path(out).glob("lang_bucket=[2-7]/*.parquet")
+    }
+    m2 = run_pipeline(spark, fixture_path, out, resume=True)
+    assert sorted(m2["completed_buckets"]) == list(range(C.LANG_BUCKETS))
+    # untouched partitions were NOT recomputed/rewritten
+    for p, t in untouched.items():
+        assert p.stat().st_mtime_ns == t, f"{p} was rewritten"
+    # final table identical to the clean run
+    after = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(after, full)
+
+
+def test_output_sorted_within_partitions(spark, fixture_path, tmp_path):
+    out = str(tmp_path / "sorted")
+    run_pipeline(spark, fixture_path, out)
+    files = list(Path(out).glob("lang_bucket=*/*.parquet"))
+    assert files
+    for f in files[:4]:
+        pdf = pd.read_parquet(f)[["conv_id", "turn_idx"]]
+        assert pdf.equals(pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
