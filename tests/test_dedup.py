@@ -1,0 +1,94 @@
+"""Dedup family: exact groups, MinHash-LSH recall vs exact Jaccard,
+SimHash sanity."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from langid_py_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls on the quiet green hills of the northern valley today"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quiet", "silent")),  # near dup
+        (3, base.replace("quick", "slow").replace("rain", "snow")),  # near
+        (4, "completely different text about spark query engines and shuffles here now"),
+        (5, "another unrelated document mentioning parquet files and arrow batches only"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(near_dup_docs):
+    groups = dedup.exact_dedup_groups(near_dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 0
+    kept = {r["doc_id"] for r in dedup.exact_dedup_keep(near_dup_docs).collect()}
+    assert kept == {0, 2, 3, 4, 5}
+
+
+def test_minhash_recall_vs_exact(near_dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs_exact(near_dup_docs, threshold=0.7).collect()
+    }
+    assert (0, 1) in exact and (0, 2) in exact
+    # shingle_k=1 → MinHash estimates WORD-set Jaccard, same quantity as
+    # jaccard_pairs_exact (k=5 shingles estimate a stricter, order-aware
+    # similarity by design)
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            near_dup_docs, threshold=0.5, shingle_k=1
+        ).collect()
+    }
+    assert exact <= lsh
+
+
+def test_minhash_estimate_close_to_true(near_dup_docs):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            near_dup_docs, threshold=0.3, shingle_k=1
+        ).collect()
+    }
+    true = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs_exact(near_dup_docs, threshold=0.0).collect()
+    }
+    assert est[(0, 1)] == 1.0
+    for pair, e in est.items():
+        # 64 hash functions → std(est) = sqrt(J(1-J)/64) <= 0.0625
+        assert abs(e - true[pair]) < 0.25, (pair, e, true[pair])
+
+
+def test_simhash_exact_dups_and_distance(spark, near_dup_docs):
+    import pandas as _pd
+
+    sh = dedup.simhash_udf()
+    sig = {
+        r["doc_id"]: r["s"]
+        for r in near_dup_docs.select("doc_id", sh("text").alias("s")).collect()
+    }
+    ham = lambda a, b: bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(0, 1) == 0  # identical docs → identical simhash
+    assert ham(0, 2) < ham(0, 4)  # near dup closer than unrelated
+    assert ham(0, 2) < ham(4, 5)
+    # banding guarantee: hamming-0 pairs are always candidates
+    cands = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(near_dup_docs, max_hamming=3).collect()
+    }
+    assert cands.get((0, 1)) == 0
+
+
+def test_signatures_deterministic(spark, near_dup_docs):
+    a = dedup.minhash_lsh_pairs(near_dup_docs, threshold=0.5).collect()
+    b = dedup.minhash_lsh_pairs(near_dup_docs, threshold=0.5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,124 @@
+"""Similarity search, multimodal plumbing, Spark training pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------- similarity
+def test_srp_ann_recall_vs_bruteforce(spark):
+    from langid_py_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        srp_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    brute = cosine_topk_bruteforce(emb, q, k=5).toPandas()
+    ann = srp_bucketed_topk(emb, q, dim=64, k=5).toPandas()
+    # recall@5 of the bucketed path vs brute force
+    hits = 0
+    for qid in brute["qid"].unique():
+        t = set(brute[brute.qid == qid]["vec_id"])
+        a = set(ann[ann.qid == qid]["vec_id"])
+        hits += len(t & a) / len(t)
+    recall = hits / brute["qid"].nunique()
+    assert recall >= 0.5, f"ANN recall@5 {recall}"  # 8x4-bit SRP bands
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    from langid_py_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = cosine_topk_bruteforce(emb, q, k=3).toPandas()
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].map(np.asarray))
+    norms = np.linalg.norm(mat, axis=1)
+    ids = pdf["vec_id"].to_numpy()
+    for qid in range(3):
+        qi = int(np.where(ids == qid)[0][0])
+        sims = (mat @ mat[qi]) / np.maximum(norms * norms[qi], 1e-12)
+        order = [
+            i for i in np.lexsort((ids, -np.round(sims, 6))) if ids[i] != qid
+        ][:3]
+        want = ids[order].tolist()
+        have = got[got.qid == qid].sort_values("rk")["vec_id"].tolist()
+        assert have == want, (qid, have, want)
+
+
+# ---------------------------------------------------------- multimodal
+def test_media_pipeline_shapes(spark):
+    from langid_py_spark.operators.multimodal import (
+        decode_features,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=32)
+    feats = decode_features(media).toPandas()
+    assert len(feats) == 32
+    assert all(len(f) == 8 for f in feats["feat"])
+    assert (feats["width"] >= 16).all() and (feats["height"] >= 16).all()
+    # deterministic across runs
+    feats2 = decode_features(synth_media(spark, n=32)).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+    sampled = frame_sample(media, every_n=4).toPandas()
+    m0 = media.toPandas().set_index("media_id")
+    s0 = sampled.set_index("media_id")
+    for mid in (0, 5, 31):
+        assert bytes(s0.loc[mid, "payload"]) == bytes(m0.loc[mid, "payload"])[::4]
+
+
+# ------------------------------------------------------ training stages
+def test_spark_ig_matches_local_oracle(spark):
+    """Spark ig_weights == core.trainer.ig_binarized on a toy corpus."""
+    from langid_py_spark.core.trainer import ig_binarized
+    from langid_py_spark.operators.train_pipeline import (
+        df_feature_select,
+        explode_byte_ngrams,
+        ig_weights,
+    )
+
+    rows = [
+        (0, "en", "s0", "aab"),
+        (1, "en", "s1", "abb"),
+        (2, "de", "s0", "bbc"),
+        (3, "de", "s1", "ccc"),
+        (4, "fr", "s0", "cab"),
+        (5, "fr", "s1", "bca"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    )
+    tokens = explode_byte_ngrams(docs, max_order=2)
+    cand = df_feature_select(tokens, candidates_per_order=50)
+    got = {r["feature"]: r["ig"] for r in ig_weights(tokens, docs, "lang", cand).collect()}
+
+    labels = np.array([0, 0, 1, 1, 2, 2])
+    texts = [t for _, _, _, t in rows]
+    for feat_hex, ig_spark in got.items():
+        feat = bytes.fromhex(feat_hex)
+        present = np.array([feat in t.encode() for t in texts])
+        ig_local = ig_binarized(present, labels, 3)
+        assert abs(ig_spark - ig_local) < 1e-9, (feat, ig_spark, ig_local)
+
+
+def test_train_nb_on_spark_runs(spark):
+    from langid_py_spark.operators.train_pipeline import train_nb_on_spark
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    m = train_nb_on_spark(docs, candidates_per_order=80, feats_per_lang=30, max_order=2)
+    assert m.nb_numfeats > 0 and len(m.nb_classes) == 5
+    langs, _, norm, _ = m.classify_batch(["table scan fast", ""])
+    assert all(l in m.nb_classes for l in langs)
