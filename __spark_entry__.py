@@ -202,6 +202,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: full language ranking per doc (top-3 flattened; rows-only)."""
+    from langid_py_spark.spark.scorer import rank_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    r = docs.select("doc_id", rank_udf()(F.col("text")).alias("r"))
+    return r.select(
+        "doc_id",
+        F.col("r")[0]["lang"].alias("lang1"),
+        F.round(F.col("r")[0]["prob"], 6).alias("prob1"),
+        F.col("r")[1]["lang"].alias("lang2"),
+        F.round(F.col("r")[1]["prob"], 6).alias("prob2"),
+    )
+
+
 def q_byte_ngram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training stage W1 on real byte n-grams (hex features, rows-only:
     byte-level n-gram explosion is not expressible in ANSI SQL)."""
@@ -240,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann_topk,
         "media_features": q_media_features,
         "byte_ngram_df_topk": q_byte_ngram_df_topk,
+        "rank_languages": q_rank_languages,
     }
 
 

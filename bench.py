@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "turns_per_sec": ..., "cpus": ...}
+
+The flagship number is the full quality-filter pipeline
+(scan→score→filter→scrub→vote→write) over the deterministic transcript
+fixture at matching scale; operator queries run over the driver-provided
+parquet tables. Each timing is the median of RUNS warm runs (first
+iteration warms the JVM + Python UDF workers and is discarded).
+
+Scaling evidence (north_rule N→4N): scripts/scaling_bench.py runs this
+same pipeline at local[8] vs local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+RUNS = 3
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    from pyspark.sql import functions as F
+
+    from langid_py_spark.fixtures.transcripts import ensure_transcripts
+    from langid_py_spark.spark.pipeline import run_pipeline
+    from langid_py_spark.spark.session import get_spark
+
+    spark = get_spark(cores=cpus, shuffle_partitions=cpus, app_name="bench")
+    transcripts = ensure_transcripts(spark, sf)
+    n_turns = spark.read.parquet(transcripts).count()
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    def run_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    out_dir = str(REPO / ".cache" / "bench_out")
+
+    def bench_pipeline() -> None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        run_pipeline(spark, transcripts, out_dir, resume=False)
+
+    operator_benches = {
+        "pipeline_full": bench_pipeline,
+        "langid_score": lambda: run_noop(
+            qs["langid_documents"](spark, sf_dir)
+        ),
+        "rules_keepdrop": lambda: run_noop(qs["rules_keepdrop"](spark, sf_dir)),
+        "scrub_pii": lambda: run_noop(qs["scrub_pii"](spark, sf_dir)),
+        "word_df_tally": lambda: run_noop(qs["word_df_tally"](spark, sf_dir)),
+        "exact_dedup": lambda: run_noop(qs["exact_dedup_groups"](spark, sf_dir)),
+        "minhash_pairs": lambda: run_noop(qs["minhash_pairs"](spark, sf_dir)),
+        "cosine_topk": lambda: run_noop(qs["cosine_topk"](spark, sf_dir)),
+        "pricing_summary": lambda: run_noop(qs["pricing_summary"](spark, sf_dir)),
+        "top_customers": lambda: run_noop(qs["top_customers"](spark, sf_dir)),
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in operator_benches.items():
+        fn()  # warm (JVM codegen + python workers + page cache)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "quality_filter_pipeline_and_operators_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "transcript_turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["pipeline_full"], 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

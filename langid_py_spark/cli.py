@@ -1,0 +1,90 @@
+"""CLI mirroring langid.py's batch / line modes (langid/langid.py main()
+~L370-L520), Spark-first where it matters:
+
+  python -m langid_py_spark.cli -b FILE [FILE...]   # one doc per file
+  python -m langid_py_spark.cli --line FILE          # one doc per line
+  cat text | python -m langid_py_spark.cli --line    # stdin lines
+  python -m langid_py_spark.cli --spark PARQUET OUT  # distributed:
+        score a parquet of (.., text) rows, write parquet + lang column
+  -l en,de,fr    restrict languages (model slicing, not post-filter)
+  -n             suppress confidence normalization (raw log-probs)
+
+The reference's multiprocessing Pool batch mode is replaced by the
+NumPy batch scorer locally and by executor parallelism under --spark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="langid_py_spark")
+    ap.add_argument("-b", "--batch", action="store_true", help="one doc per file")
+    ap.add_argument("--line", action="store_true", help="one doc per line")
+    ap.add_argument("-l", "--langs", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "-n", "--no-norm", action="store_true", help="raw log-prob confidence"
+    )
+    ap.add_argument("--spark", action="store_true", help="distributed parquet mode")
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("paths", nargs="*")
+    args = ap.parse_args(argv)
+
+    langs = args.langs.split(",") if args.langs else None
+
+    if args.spark:
+        if len(args.paths) != 2:
+            ap.error("--spark needs IN_PARQUET OUT_PARQUET")
+        from langid_py_spark.spark.scorer import with_language
+        from langid_py_spark.spark.session import get_spark
+
+        spark = get_spark(cores=args.cores, app_name="langid_cli")
+        df = spark.read.parquet(args.paths[0])
+        out = with_language(df, langs=langs).select("*", "ld.*").drop("ld")
+        out.write.mode("overwrite").parquet(args.paths[1])
+        print(f"wrote {args.paths[1]}")
+        return 0
+
+    from langid_py_spark.core.model import NBModel
+
+    model = NBModel.load()
+    if langs:
+        model = model.set_languages(langs)
+
+    def emit(name: str, text: str) -> None:
+        ls, raw, norm, _ = model.classify_batch([text])
+        conf = raw[0] if args.no_norm else norm[0]
+        print(f"{name},{ls[0]},{conf:.6f}")
+
+    if args.batch:
+        for p in args.paths:
+            with open(p, "rb") as f:
+                data = f.read()
+            ls, raw, norm, _ = model.classify_batch([data])
+            conf = raw[0] if args.no_norm else norm[0]
+            print(f"{p},{ls[0]},{conf:.6f}")
+    elif args.line:
+        src = open(args.paths[0]) if args.paths else sys.stdin
+        texts = [line.rstrip("\n") for line in src]
+        ls, raw, norm, _ = model.classify_batch(texts)
+        conf = raw if args.no_norm else norm
+        for i, t in enumerate(texts):
+            print(f"{ls[i]},{conf[i]:.6f}")
+        if args.paths:
+            src.close()
+    else:
+        # interactive REPL (reference ~L470)
+        try:
+            while True:
+                line = input(">>> ")
+                ls, raw, norm, _ = model.classify_batch([line])
+                print((ls[0], float(raw[0] if args.no_norm else norm[0])))
+        except (EOFError, KeyboardInterrupt):
+            pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

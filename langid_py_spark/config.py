@@ -25,7 +25,16 @@ MAX_PERPLEXITY = 5000.0  # r_high_ppl (byte-trigram LM)
 # CJK chars count as words (whitespace tokenization undercounts zh/ja/ko)
 CJK_RANGE = "一-鿿぀-ヿ가-힯"
 CJK_CHAR_PATTERN = f"[{CJK_RANGE}]"
-LONG_WORD_PATTERN = f"[^\\s{CJK_RANGE}]{{{MAX_WORD_LEN + 1},}}"
+# Long-word rule: "a run of >MAX_WORD_LEN consecutive non-space non-CJK
+# chars exists". Evaluated as: replace CJK chars with a space (POSITIVE
+# unicode class — fast in Java regex), then search \S{MAX_WORD_LEN+1}.
+# Measured: a NEGATED class containing CJK ranges ([^\s一-...]{61}) is
+# ~40x slower in Java regex than \S{61} (loses the class fast path), and
+# the split+transform alternative is a HigherOrderFunction →
+# CodegenFallback → drags the whole fused Project into interpreted,
+# GC-bound evaluation that stops scaling past ~8 threads.
+WORD_BOUNDARY_PATTERN = f"[\\s{CJK_RANGE}]+"  # python/duckdb splits elsewhere
+LONG_WORD_RUN_PATTERN = f"\\S{{{MAX_WORD_LEN + 1}}}"
 ALPHA_PATTERN = r"\p{L}"  # Java + RE2; Python oracle uses str.isalpha()
 DIGIT_PATTERN = "[0-9]"
 

@@ -87,9 +87,21 @@ def full_pipeline(
     turns: DataFrame,
     model_path: str = DEFAULT_MODEL_PATH,
     langs: list[str] | None = None,
+    persist_scored: bool = False,
 ) -> DataFrame:
-    """score → salted vote → backjoin → final projection (unwritten)."""
+    """score → salted vote → backjoin → final projection (unwritten).
+
+    `persist_scored=True` materializes the scored stage once instead of
+    evaluating the UDF subtree twice (vote branch + join branch). At
+    bench/production scale run_pipeline always does this; at 10^12 turns
+    the same role is played by the scored checkpoint parquet (the resume
+    point), so the UDFs still run exactly once per turn.
+    """
     scored = score_turns(turns, model_path=model_path, langs=langs)
+    if persist_scored:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     conv = conversation_vote(scored).select("conv_id", "conv_lang")
     joined = scored.join(conv, "conv_id", "left")
     return joined.withColumn(
@@ -131,8 +143,18 @@ def run_pipeline(
     if not todo:
         return manifest
 
+    from pyspark import StorageLevel
+
     turns = spark.read.parquet(in_path)
-    result = full_pipeline(turns, model_path=model_path, langs=langs)
+    scored = score_turns(turns, model_path=model_path, langs=langs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    conv = conversation_vote(scored).select("conv_id", "conv_lang")
+    result = (
+        scored.join(conv, "conv_id", "left")
+        .withColumn("lang_bucket", F.pmod(F.hash(F.col("lang")), F.lit(C.LANG_BUCKETS)))
+        .select(*OUTPUT_COLUMNS)
+    )
     if done:
         result = result.filter(F.col("lang_bucket").isin(todo))
 
@@ -141,21 +163,33 @@ def run_pipeline(
     # cluster scale file counts are shaped by AQE-coalesced task counts
     # (a repartition(n, lang_bucket, pmod(hash(conv_id), k)) exchange can
     # be inserted for strict file-count control without changing results).
+    # observe() rides the write job for free (A7 pipeline metrics).
+    from pyspark.sql import Observation
+
+    obs = Observation("pipeline_metrics")
     (
-        result.sortWithinPartitions("conv_id", "turn_idx")
+        result.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode("overwrite")
         .partitionBy("lang_bucket")
         .parquet(out_path)
     )
+    observed = dict(obs.get)
 
-    # per-partition lineage/metrics rows (small: LANG_BUCKETS × langs)
+    # per-partition lineage/metrics rows (small: LANG_BUCKETS × langs).
+    # Computed from `result` (persisted upstream) — no output re-read;
+    # approx_count_distinct keeps this to ONE extra pass, no extra
+    # shuffle beyond its own tiny agg.
     metrics = (
-        spark.read.parquet(out_path)
-        .groupBy("lang_bucket")
+        result.groupBy("lang_bucket")
         .agg(
             F.count("*").alias("n_turns"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
-            F.countDistinct("conv_id").alias("n_convs"),
+            F.approx_count_distinct("conv_id").alias("n_convs"),
             F.sum("nbytes").alias("total_bytes"),
         )
         .orderBy("lang_bucket")
@@ -168,5 +202,7 @@ def run_pipeline(
     # rows is still complete (nothing to resume)
     manifest["completed_buckets"] = sorted(done | set(todo))
     manifest["input"] = in_path
+    manifest["observed"] = {k: int(v) for k, v in observed.items()}
     _manifest_path(out_path).write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    scored.unpersist()
     return manifest

@@ -40,10 +40,15 @@ def rule_columns(text: Column) -> dict[str, Column]:
     n_lines = F.size(lines)
     n_distinct_lines = F.size(F.array_distinct(lines))
     return {
-        "r_empty": F.regexp_count(t, F.lit(r"\S")) == 0,
+        # rlike short-circuits at the first \S; a regexp_count would scan all
+        "r_empty": ~t.rlike(r"\S"),
         "r_too_short": n_words_expr(t) < C.MIN_WORDS,
         "r_too_long": n_chars > C.MAX_CHARS,
-        "r_long_word": t.rlike(C.LONG_WORD_PATTERN),
+        # CJK→space (positive class, fast) then fixed \S window (codegen,
+        # no HOF, no negated-unicode class — see config.py)
+        "r_long_word": F.regexp_replace(t, C.CJK_CHAR_PATTERN, " ").rlike(
+            C.LONG_WORD_RUN_PATTERN
+        ),
         "r_non_alpha": (n_chars > 0)
         & (n_alpha < C.MIN_ALPHA_RATIO * n_chars.cast("double")),
         "r_digit_heavy": (n_chars > 0)
@@ -82,10 +87,13 @@ def duckdb_rule_sql(text_expr: str = "text") -> dict[str, str]:
     n_lines = f"len({lines})"
     n_dlines = f"len(list_distinct({lines}))"
     return {
-        "r_empty": f"(len(regexp_extract_all({t}, '\\S')) = 0)",
+        "r_empty": f"(NOT regexp_matches({t}, '\\S'))",
         "r_too_short": f"({n_words} < {C.MIN_WORDS})",
         "r_too_long": f"({n_chars} > {C.MAX_CHARS})",
-        "r_long_word": f"regexp_matches({t}, '{C.LONG_WORD_PATTERN}')",
+        "r_long_word": (
+            f"regexp_matches(regexp_replace({t}, '{C.CJK_CHAR_PATTERN}', ' ', 'g'), "
+            f"'{C.LONG_WORD_RUN_PATTERN}')"
+        ),
         "r_non_alpha": f"({n_chars} > 0 AND {n_alpha} < {C.MIN_ALPHA_RATIO} * {n_chars})",
         "r_digit_heavy": f"({n_chars} > 0 AND {n_digit} > {C.MAX_DIGIT_RATIO} * {n_chars})",
         "r_dup_lines": (
@@ -111,7 +119,10 @@ def python_rule_oracle(text: str | None) -> dict[str, bool]:
         "r_empty": ws_words == 0,
         "r_too_short": n_words < C.MIN_WORDS,
         "r_too_long": n_chars > C.MAX_CHARS,
-        "r_long_word": re.search(C.LONG_WORD_PATTERN, t) is not None,
+        "r_long_word": re.search(
+            C.LONG_WORD_RUN_PATTERN, re.sub(C.CJK_CHAR_PATTERN, " ", t)
+        )
+        is not None,
         "r_non_alpha": n_chars > 0 and n_alpha < C.MIN_ALPHA_RATIO * n_chars,
         "r_digit_heavy": n_chars > 0 and n_digit > C.MAX_DIGIT_RATIO * n_chars,
         "r_dup_lines": len(lines) >= C.MIN_LINES

