@@ -98,6 +98,68 @@ class NBModel:
             out_feats=dfa.out_feats.astype(np.int64),
         )
 
+    # --------------------------------------- reference wire format
+    def to_modelstring(self) -> bytes:
+        """Serialize in the reference's wire format — langid.py ships its
+        model as base64(bz2(pickle((nb_ptc, nb_pc, nb_numfeats,
+        nb_classes, tk_nextmove, tk_output)))) (NBtrain.py ~L230 /
+        from_modelstring ~L140). tk_output is the dict state ->
+        tuple(feature indices) form the reference uses; our CSR arrays
+        are rebuilt from it on load."""
+        import base64
+        import bz2
+        import pickle
+
+        tk_output = {
+            int(s): tuple(
+                int(f) for f in self.out_feats[self.out_indptr[s] : self.out_indptr[s + 1]]
+            )
+            for s in range(self.nstates)
+            if self.out_indptr[s + 1] > self.out_indptr[s]
+        }
+        tup = (
+            self.nb_ptc,
+            self.nb_pc,
+            int(self.nb_numfeats),
+            list(self.nb_classes),
+            self.nextmove.astype(np.uint32),
+            tk_output,
+            [f.hex() for f in self.features],  # extra slot: feature bytes
+        )
+        return base64.b64encode(bz2.compress(pickle.dumps(tup)))
+
+    @classmethod
+    def from_modelstring(cls, string: bytes | str) -> "NBModel":
+        """Inverse of to_modelstring (reference from_modelstring ~L140)."""
+        import base64
+        import bz2
+        import pickle
+
+        if isinstance(string, str):
+            string = string.encode("ascii")
+        tup = pickle.loads(bz2.decompress(base64.b64decode(string)))
+        nb_ptc, nb_pc, _numfeats, classes, nextmove, tk_output = tup[:6]
+        features = [bytes.fromhex(h) for h in tup[6]] if len(tup) > 6 else []
+        nstates = len(nextmove) // 256
+        indptr = np.zeros(nstates + 1, dtype=np.int64)
+        for s in range(nstates):
+            indptr[s + 1] = indptr[s] + len(tk_output.get(s, ()))
+        feats = np.empty(int(indptr[-1]), dtype=np.int64)
+        pos = 0
+        for s in range(nstates):
+            for fi in tk_output.get(s, ()):
+                feats[pos] = fi
+                pos += 1
+        return cls(
+            nb_ptc=np.asarray(nb_ptc, dtype=np.float64),
+            nb_pc=np.asarray(nb_pc, dtype=np.float64),
+            nb_classes=list(classes),
+            features=features,
+            nextmove=np.asarray(nextmove, dtype=np.uint32),
+            out_indptr=indptr,
+            out_feats=feats,
+        )
+
     # ------------------------------------------------ language subset
     def set_languages(self, langs: list[str]) -> "NBModel":
         """Return a model restricted to `langs` (matrix slicing, as the

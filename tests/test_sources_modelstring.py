@@ -1,0 +1,78 @@
+"""File/corpus-tree sources (S1/S2/S6) and reference model wire format."""
+
+import numpy as np
+import pytest
+
+from langid_py_spark.core.corpora import make_doc
+from langid_py_spark.core.model import NBModel
+
+
+# ----------------------------------------------------------- modelstring
+def test_modelstring_roundtrip():
+    m = NBModel.load()
+    s = m.to_modelstring()
+    m2 = NBModel.from_modelstring(s)
+    assert m2.nb_classes == m.nb_classes
+    np.testing.assert_array_equal(m2.nb_ptc, m.nb_ptc)
+    np.testing.assert_array_equal(m2.nb_pc, m.nb_pc)
+    np.testing.assert_array_equal(m2.nextmove, m.nextmove)
+    np.testing.assert_array_equal(m2.out_indptr, m.out_indptr)
+    np.testing.assert_array_equal(m2.out_feats, m.out_feats)
+    rng = np.random.RandomState(1)
+    docs = [make_doc(rng, l, 3) for l in ("en", "ru", "zh")]
+    a = m.classify_batch(docs)
+    b = m2.classify_batch(docs)
+    assert list(a[0]) == list(b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+# -------------------------------------------------------------- sources
+@pytest.fixture(scope="module")
+def corpus_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.RandomState(7)
+    for domain in ("wiki", "news"):
+        for lang in ("en", "de"):
+            d = root / domain / lang
+            d.mkdir(parents=True)
+            for i in range(3):
+                (d / f"doc{i}.txt").write_text(make_doc(rng, lang, 2))
+    return str(root)
+
+
+def test_read_corpus_tree(spark, corpus_tree):
+    from langid_py_spark.sources.files import read_corpus_tree
+
+    df = read_corpus_tree(spark, corpus_tree)
+    rows = df.collect()
+    assert len(rows) == 12
+    assert {r["domain"] for r in rows} == {"wiki", "news"}
+    assert {r["lang"] for r in rows} == {"en", "de"}
+    assert len({r["doc_id"] for r in rows}) == 12
+    assert all(r["text"] for r in rows)
+
+
+def test_read_file_and_line_docs(spark, tmp_path):
+    from langid_py_spark.sources.files import read_file_docs, read_line_docs
+
+    p = tmp_path / "a.txt"
+    p.write_text("line one\nline two\nline three")
+    whole = read_file_docs(spark, str(p)).collect()
+    assert len(whole) == 1 and whole[0]["text"].count("\n") == 2
+    lines = read_line_docs(spark, str(p)).orderBy("line_no").collect()
+    assert [r["text"] for r in lines] == ["line one", "line two", "line three"]
+    assert [r["line_no"] for r in lines] == [0, 1, 2]
+
+
+def test_corpus_tree_feeds_training(spark, corpus_tree):
+    """S6 output plugs straight into the Spark training pipeline."""
+    from langid_py_spark.operators.train_pipeline import (
+        df_feature_select,
+        explode_byte_ngrams,
+    )
+    from langid_py_spark.sources.files import read_corpus_tree
+
+    docs = read_corpus_tree(spark, corpus_tree).withColumnRenamed("domain", "source")
+    tokens = explode_byte_ngrams(docs, max_order=2)
+    cand = df_feature_select(tokens, candidates_per_order=20)
+    assert cand.count() == 40  # 20 per order x 2 orders
