@@ -33,8 +33,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 CHILD = """
-import sys, time, shutil, json, statistics
+import sys, time, shutil, json, statistics, os
 sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")  # fixture cache + persist headroom
 from langid_py_spark.spark.session import get_spark
 from langid_py_spark.spark.pipeline import run_pipeline
 # split size tuned so scan parallelism is never the cap at either level
