@@ -202,7 +202,8 @@ def run_pipeline(
     # rows is still complete (nothing to resume)
     manifest["completed_buckets"] = sorted(done | set(todo))
     manifest["input"] = in_path
-    manifest["observed"] = {k: int(v) for k, v in observed.items()}
+    # observe() sums are NULL on an empty relation
+    manifest["observed"] = {k: int(v or 0) for k, v in observed.items()}
     _manifest_path(out_path).write_text(json.dumps(manifest, indent=1, sort_keys=True))
     scored.unpersist()
     return manifest
