@@ -105,6 +105,55 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(emb, queries_df, k=5)
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): vec pairs
+    with cosine >= 0.99 among the first 1000 vectors. Brute-force twin
+    (SQL-checkable); the scale path is srp_bucketed_topk's banded join."""
+    from langid_py_spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / F.greatest(_norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-12)),
+        6,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-1 quality score per document: weighted rule signals +
+    clamped length ratio (quality-scoring operator, SQL-checkable)."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = rule_columns(F.col("text"))
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(t)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    penalty = (
+        cols["r_too_short"].cast("int") * 0.4
+        + cols["r_non_alpha"].cast("int") * 0.3
+        + cols["r_digit_heavy"].cast("int") * 0.2
+        + cols["r_long_word"].cast("int") * 0.1
+    )
+    score = F.greatest(
+        F.lit(0.0), F.round(0.5 * len_score + 0.5 - penalty, 6)
+    )
+    return docs.select("doc_id", score.alias("quality_score"))
+
+
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vote-aggregation shape (A6) in SQL-checkable form: per user, the
     event_type with the highest count (count desc, type asc tie-break)."""
@@ -196,7 +245,7 @@ def q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         )
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
     )
     return run.filter(F.col("rn") <= 3).select(
         "user_id", "event_id", "rn", "running_value"
@@ -307,6 +356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "quality_score": q_quality_score,
         "user_top_event": q_user_top_event,
         "sessionize_events": q_sessionize_events,
         "running_totals": q_running_totals,
@@ -356,6 +407,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_pairs": dedup.jaccard_pairs_oracle_sql("documents", threshold=0.6),
         "cosine_topk": similarity.cosine_topk_oracle_sql("embeddings", n_queries=5, k=5),
+        "embedding_dup_pairs": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 1000
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / greatest(sqrt(list_dot_product(a.v, a.v))
+                                    * sqrt(list_dot_product(b.v, b.v)), 1e-12),
+                         6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / greatest(sqrt(list_dot_product(a.v, a.v))
+                                   * sqrt(list_dot_product(b.v, b.v)), 1e-12),
+                        6) >= 0.99
+        """,
+        "quality_score": (
+            lambda rs: f"""
+            SELECT doc_id,
+                   greatest(0.0, round(
+                     0.5 * least(length(coalesce(text, '')) / 500.0, 1.0)
+                     + 0.5
+                     - (CAST({rs['r_too_short']} AS INT) * 0.4
+                        + CAST({rs['r_non_alpha']} AS INT) * 0.3
+                        + CAST({rs['r_digit_heavy']} AS INT) * 0.2
+                        + CAST({rs['r_long_word']} AS INT) * 0.1), 6)) AS quality_score
+            FROM documents
+            """
+        )(duckdb_rule_sql("text")),
         "user_top_event": """
             SELECT user_id, event_type AS top_event_type, n_events FROM (
                 SELECT user_id, event_type, count(*) AS n_events,

@@ -77,7 +77,7 @@ def cosine_topk_bruteforce(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", F.col("vid").alias("vec_id"), "cos_sim", "rk")
     )

@@ -28,12 +28,13 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     n_alpha = F.regexp_count(t, F.lit(r"\p{L}"))
     n_digit = F.regexp_count(t, F.lit("[0-9]"))
     n_lines = F.size(F.split(t, "\n"))
+    # cast counts to long: DuckDB oracles produce BIGINT for length/len
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        n_tokens.alias("n_tokens"),
-        n_lines.alias("n_lines"),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_lines.cast("long").alias("n_lines"),
         F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
         F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
         F.round(
@@ -139,7 +140,7 @@ def topk_words_per_group(
     )
     w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("word"))
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select(group_col, "word", "n", "rk")
     )
