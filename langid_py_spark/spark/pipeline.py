@@ -63,13 +63,16 @@ def score_turns(
     model_path: str = DEFAULT_MODEL_PATH,
     langs: list[str] | None = None,
 ) -> DataFrame:
-    """Shuffle-free scoring stage: classify + ppl + rules + scrub + keep."""
-    ld = classify_udf(model_path=model_path, langs=langs, max_bytes=C.SCORE_MAX_BYTES)
-    ppl = perplexity_udf()
-    df = turns.withColumn("_ld", ld(F.col("text"))).select(
-        "*", "_ld.lang", "_ld.conf_raw", "_ld.conf_norm", "_ld.nbytes"
-    ).drop("_ld")
-    df = df.withColumn("ppl", ppl(F.col("text")))
+    """Shuffle-free scoring stage: classify + ppl + rules + scrub + keep.
+
+    classify and perplexity run FUSED in one Arrow UDF (one transfer of
+    the text column per batch — scorer.score_udf)."""
+    from langid_py_spark.spark.scorer import score_udf
+
+    sc = score_udf(model_path=model_path, langs=langs, max_bytes=C.SCORE_MAX_BYTES)
+    df = turns.withColumn("_sc", sc(F.col("text"))).select(
+        "*", "_sc.lang", "_sc.conf_raw", "_sc.conf_norm", "_sc.nbytes", "_sc.ppl"
+    ).drop("_sc")
     df = with_rules(df, "text")
     df = (
         df.withColumn("r_low_conf", F.col("conf_norm") < C.MIN_LANG_CONF)

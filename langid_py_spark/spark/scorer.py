@@ -71,6 +71,52 @@ def classify_udf(
     return _classify
 
 
+SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("conf_raw", T.DoubleType()),
+        T.StructField("conf_norm", T.DoubleType()),
+        T.StructField("nbytes", T.LongType()),
+        T.StructField("ppl", T.DoubleType()),
+    ]
+)
+
+
+def score_udf(
+    model_path: str = DEFAULT_MODEL_PATH,
+    lm_path: str | None = None,
+    langs: list[str] | None = None,
+    max_bytes: int | None = 4096,
+):
+    """Fused classify + perplexity UDF: the hot pipeline ships the text
+    column across the Arrow boundary ONCE and returns one struct.
+    Separate classify_udf/perplexity_udf remain for standalone use."""
+    from langid_py_spark.core.lm import DEFAULT_LM_PATH
+    from langid_py_spark.spark.perplexity import _get_lm
+
+    lm_path_r = lm_path or DEFAULT_LM_PATH
+    langs_t = tuple(langs) if langs else None
+
+    @pandas_udf(SCORE_SCHEMA)
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        model = _get_model(model_path, langs_t)
+        lm = _get_lm(lm_path_r)
+        vals = texts.fillna("").tolist()
+        lang, raw, norm, nbytes = model.classify_batch(vals, max_bytes=max_bytes)
+        ppl = lm.perplexity_batch(vals, max_bytes=max_bytes or 4096)
+        return pd.DataFrame(
+            {
+                "lang": lang,
+                "conf_raw": raw,
+                "conf_norm": norm,
+                "nbytes": nbytes,
+                "ppl": ppl,
+            }
+        )
+
+    return _score
+
+
 def rank_udf(
     model_path: str = DEFAULT_MODEL_PATH,
     langs: list[str] | None = None,
