@@ -30,9 +30,7 @@ from pyspark.sql import functions as F
 
 from langid_py_spark import config as C
 from langid_py_spark.core.model import DEFAULT_MODEL_PATH
-from langid_py_spark.spark.perplexity import perplexity_udf
 from langid_py_spark.spark.rules import with_rules
-from langid_py_spark.spark.scorer import classify_udf
 from langid_py_spark.spark.scrub import scrub_expr
 from langid_py_spark.spark.vote import conversation_vote
 
@@ -141,6 +139,12 @@ def run_pipeline(
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     manifest = read_manifest(out_path) if resume else {"completed_buckets": [], "metrics": {}}
+    if resume and manifest.get("input") not in (None, in_path):
+        raise ValueError(
+            f"resume manifest at {out_path} was written for input "
+            f"{manifest['input']!r}, not {in_path!r}; pass resume=False to "
+            "overwrite"
+        )
     done = set(manifest["completed_buckets"])
     todo = [b for b in range(C.LANG_BUCKETS) if b not in done]
     if not todo:
