@@ -4,12 +4,14 @@ entry(spark)   — flagship quality-filter pipeline on the sf0.001
                  transcript fixture (deterministic, self-generated).
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops); each callable (spark, sf_dir) -> DF.
-oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query
-                 (driver cross-checks row count + schema + value hash at
-                 sf0.01). UDF-scored ops (langid, perplexity, minhash,
-                 simhash, SRP-ANN, media decode) are rows-only by design
-                 — the NumPy oracle equivalence for those is enforced in
-                 tests/ instead (tests/test_spark_scorer.py etc.).
+oracle_sql()   — DuckDB-checkable SQL for EVERY query (driver cross-checks
+                 row count + schema + value hash at sf0.01). SQL-expressible
+                 ops get an ANSI-SQL twin over the shared parquet tables;
+                 UDF-scored ops (langid, perplexity, minhash, simhash,
+                 SRP-ANN, media decode, byte-ngram DF) get golden-parquet
+                 oracles pre-computed WITHOUT Spark by scripts/
+                 make_golden.py (NumPy cores + pandas twins of the
+                 DataFrame logic), read back via read_parquet().
 
 Column names are aliased identically on both sides; float columns are
 rounded to 6 (money 2/4) decimals on both sides so value hashes match.
@@ -18,6 +20,7 @@ rounded to 6 (money 2/4) decimals on both sides so value hashes match.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,6 +96,24 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_keep(_t(spark, sf_dir, "documents")).select("doc_id")
 
 
+def q_prefix_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint near-dup groups: md5 of the first 40 chars.
+    A cheap first-pass near-dup heuristic (boilerplate/template detection)
+    AND the non-vacuous twin of exact_dedup_groups — the sf0.01 fixture has
+    no byte-identical docs but 23 shared-prefix groups, so this check has
+    real rows behind it."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.md5(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)).alias(
+                "prefix_hash"
+            )
+        )
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs_exact(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -106,11 +127,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family): vec pairs
-    with cosine >= 0.99 among the first 1000 vectors. Brute-force twin
-    (SQL-checkable); the scale path is srp_bucketed_topk's banded join."""
+    """Embedding-cosine near-duplicate pairs (dedup family): vec pairs with
+    cosine >= threshold among the first 1000 vectors. Brute-force ORACLE
+    TWIN (SQL-checkable, hard-capped at 1000 vecs so the cross join is
+    bounded); the scale path is srp_bucketed_topk's banded join. The
+    fixture's embeddings are near-orthogonal (max pairwise cos ~0.51), so
+    the driver check uses 0.45 to be NON-vacuous (14 pairs at sf0.01); a
+    production near-dup pass would run the same operator at 0.95+."""
     from langid_py_spark.operators.similarity import _dot, _norm
 
+    threshold = 0.45
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     a = emb.select(
         F.col("vec_id").alias("id_a"),
@@ -129,7 +155,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", sim)
-        .filter(F.col("cos_sim") >= 0.99)
+        .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
 
@@ -310,8 +336,17 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from langid_py_spark.operators.multimodal import decode_features, synth_media
 
-    return decode_features(synth_media(spark, n=64)).drop("feat").withColumn(
-        "feat_dim", F.lit(8)
+    return (
+        decode_features(synth_media(spark, n=64))
+        .drop("feat")
+        .select(
+            "media_id",
+            "mime",
+            F.col("nbytes").cast("long").alias("nbytes"),
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.lit(8).cast("long").alias("feat_dim"),
+        )
     )
 
 
@@ -353,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_words_per_lang": q_topk_words_per_lang,
         "topk_words_per_source": q_topk_words_per_source,
         "exact_dedup_groups": q_exact_dedup_groups,
+        "prefix_dedup_groups": q_prefix_dedup_groups,
         "dedup_survivors": q_dedup_survivors,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
@@ -365,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "lang_histogram": q_lang_histogram,
-        # UDF-backed (rows-only check; numpy-oracle parity in pytest)
+        # UDF-backed (golden-parquet oracles; numpy-oracle parity in pytest)
         "langid_documents": q_langid_documents,
         "perplexity_documents": q_perplexity_documents,
         "minhash_pairs": q_minhash_pairs,
@@ -375,6 +411,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_ngram_df_topk": q_byte_ngram_df_topk,
         "rank_languages": q_rank_languages,
     }
+
+
+_GOLDEN_DIR = Path(__file__).resolve().parent / "langid_py_spark" / "data" / "golden"
+
+
+def _golden_sql(name: str, sf: str = "0.01") -> str:
+    """Golden-parquet oracle for a deterministic UDF-scored query: expected
+    output pre-computed by scripts/make_golden.py with the NumPy cores (no
+    Spark) + a pandas twin of the DataFrame logic. The driver's value-hash
+    check then covers the hot operators end-to-end instead of rows-only.
+    Valid at sf0.01 (the driver's correctness gate SF)."""
+    return f"SELECT * FROM read_parquet('{_GOLDEN_DIR / f'sf{sf}' / f'{name}.parquet'}')"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -398,6 +446,13 @@ def oracle_sql() -> dict[str, str]:
             "documents", group_col="source", k=3
         ),
         "exact_dedup_groups": dedup.exact_dedup_groups_oracle_sql("documents"),
+        "prefix_dedup_groups": """
+            SELECT md5(substring(coalesce(text, ''), 1, 40)) AS prefix_hash,
+                   count(*) AS n_dups,
+                   min(doc_id) AS keep_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
         "dedup_survivors": """
             SELECT doc_id FROM (
                 SELECT doc_id, row_number() OVER (
@@ -421,7 +476,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.v, b.v)
                         / greatest(sqrt(list_dot_product(a.v, a.v))
                                    * sqrt(list_dot_product(b.v, b.v)), 1e-12),
-                        6) >= 0.99
+                        6) >= 0.45
         """,
         "quality_score": (
             lambda rs: f"""
@@ -463,7 +518,7 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM g
             )
-            SELECT user_id, max(session_id) AS n_sessions,
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM s GROUP BY user_id
@@ -512,7 +567,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_spent DESC, c_custkey ASC LIMIT 10
         """,
         "lang_histogram": """
-            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang, source
         """,
+        # UDF-scored queries: golden-parquet oracles (deterministic expected
+        # outputs, pre-computed without Spark — scripts/make_golden.py)
+        "langid_documents": _golden_sql("langid_documents"),
+        "perplexity_documents": _golden_sql("perplexity_documents"),
+        "rank_languages": _golden_sql("rank_languages"),
+        "minhash_pairs": _golden_sql("minhash_pairs"),
+        "simhash_candidates": _golden_sql("simhash_candidates"),
+        "srp_ann_topk": _golden_sql("srp_ann_topk"),
+        "media_features": _golden_sql("media_features"),
+        "byte_ngram_df_topk": _golden_sql("byte_ngram_df_topk"),
     }

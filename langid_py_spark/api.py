@@ -18,15 +18,19 @@ from langid_py_spark.core.model import DEFAULT_MODEL_PATH, NBModel
 
 _lock = threading.Lock()
 _identifier: NBModel | None = None
+_identifier_path: str | None = None
 _langs: list[str] | None = None
 
 
 def load_model(path: str = DEFAULT_MODEL_PATH) -> NBModel:
-    """Lazy global identifier (reference: load_model ~L480)."""
-    global _identifier
+    """Lazy global identifier (reference: load_model ~L480). The cache is
+    keyed by `path` so a call with a different model path reloads instead
+    of silently returning the previously loaded model."""
+    global _identifier, _identifier_path
     with _lock:
-        if _identifier is None:
+        if _identifier is None or _identifier_path != path:
             _identifier = NBModel.load(path)
+            _identifier_path = path
             if _langs:
                 _identifier = _identifier.set_languages(_langs)
     return _identifier

@@ -54,6 +54,8 @@ class TrigramLM:
 
     def _lookup(self, keys: np.ndarray, table_k: np.ndarray, table_v: np.ndarray) -> np.ndarray:
         """Vectorized sorted-array lookup; missing keys → -inf."""
+        if len(table_k) == 0:  # tiny corpora + min_count can empty a table
+            return np.full(len(keys), -np.inf)
         pos = np.searchsorted(table_k, keys)
         pos_c = np.minimum(pos, len(table_k) - 1)
         hit = table_k[pos_c] == keys

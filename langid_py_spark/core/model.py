@@ -55,12 +55,18 @@ class NBModel:
 
     # ------------------------------------------------------------- io
     def save(self, path: str) -> None:
+        # Width-fitted unicode dtypes: a fixed "U8" silently truncates any
+        # feature longer than 4 bytes (hex doubles the length) — fatal for
+        # models ingested via from_modelstring with longer n-grams.
+        feats_hex = [f.hex() for f in self.features]
+        cls_w = max((len(c) for c in self.nb_classes), default=1)
+        feat_w = max((len(h) for h in feats_hex), default=1)
         np.savez_compressed(
             path,
             nb_ptc=self.nb_ptc,
             nb_pc=self.nb_pc,
-            nb_classes=np.array(self.nb_classes, dtype="U8"),
-            features=np.array([f.hex() for f in self.features], dtype="U8"),
+            nb_classes=np.array(self.nb_classes, dtype=f"U{cls_w}"),
+            features=np.array(feats_hex, dtype=f"U{feat_w}"),
             nextmove=self.nextmove,
             out_indptr=self.out_indptr,
             out_feats=self.out_feats,

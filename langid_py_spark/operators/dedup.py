@@ -79,13 +79,18 @@ def jaccard_pairs_exact(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_docs: int = 2000,
 ) -> DataFrame:
     """All id pairs (a < b) with word-set Jaccard >= threshold.
 
-    Brute force (cross join) — correctness oracle for tiny SF only; the
-    production path is minhash_lsh_pairs below.
+    Brute force (cross join) — the DuckDB-checkable ORACLE TWIN of
+    minhash_lsh_pairs, for tiny SF only; the production path is the
+    banded LSH join below. `max_docs` is a hard cap (lowest ids kept)
+    so the cartesian can never be reached at scale: 2000 docs ≈ 2M pairs
+    worst case, bounded regardless of input size.
     """
-    ws = word_sets(df, text_col, id_col)
+    capped = df.orderBy(F.asc(id_col)).limit(max_docs)
+    ws = word_sets(capped, text_col, id_col)
     a = ws.select(F.col(id_col).alias("id_a"), F.col("words").alias("wa"))
     b = ws.select(F.col(id_col).alias("id_b"), F.col("words").alias("wb"))
     inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
@@ -99,12 +104,17 @@ def jaccard_pairs_exact(
     )
 
 
-def jaccard_pairs_oracle_sql(table: str = "documents", threshold: float = 0.8, id_col: str = "doc_id") -> str:
+def jaccard_pairs_oracle_sql(
+    table: str = "documents",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_docs: int = 2000,
+) -> str:
     return f"""
     WITH ws AS (
         SELECT {id_col} AS id,
                list_distinct(regexp_extract_all(text, '\\S+')) AS words
-        FROM {table}
+        FROM (SELECT * FROM {table} ORDER BY {id_col} ASC LIMIT {max_docs})
     )
     SELECT a.id AS id_a, b.id AS id_b,
            round(len(list_intersect(a.words, b.words))
@@ -130,33 +140,83 @@ def _hash_params(n: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hashes of k-word shingles (uint64), vectorized: crc32 per word
-    (zlib, C-speed, deterministic across workers — unlike builtin hash()
-    under randomized PYTHONHASHSEED), then a rolling polynomial combine
-    across the k window in NumPy. Word shingles are robust to formatting;
-    k=5 is the common web-dedup choice."""
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _rolling_hashes_batch(
+    crcs: np.ndarray, lens: np.ndarray, k: int, prime: np.uint64, init: np.uint64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc rolling polynomial hashes over a CONCATENATED token buffer
+    (the core/lm.py pattern: one buffer for the whole Arrow batch, doc
+    boundaries handled by position masks — zero per-token Python).
+
+    crcs  — uint64 token values of every doc, concatenated (len = sum(lens))
+    lens  — int64 token count per doc
+    Returns (hashes, counts): for docs with >=k tokens one hash per full
+    k-window (h = init; h = h*prime + tok, oldest first); docs with 1..k-1
+    tokens one hash over all their tokens; empty docs the init sentinel.
+    Hashes are emitted in doc order, `counts[i]` per doc.
+    """
+    B = len(lens)
+    counts = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+    out_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    total = int(lens.sum())
+    if total == 0:
+        out[:] = init
+        return out, counts
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    doc_id = np.repeat(np.arange(B), lens)
+    pos = np.arange(total, dtype=np.int64) - starts[doc_id]
+
+    with np.errstate(over="ignore"):
+        # full k-windows: global lagged adds are safe at pos >= k-1 (the
+        # whole window lies inside one doc)
+        h = np.full(total, init, dtype=np.uint64)
+        for m in range(k - 1, -1, -1):  # oldest token first
+            lagged = np.zeros(total, dtype=np.uint64)
+            if m:
+                lagged[m:] = crcs[:-m]
+            else:
+                lagged = crcs
+            h = h * prime + lagged
+        full = pos >= k - 1
+        dest = out_starts[doc_id[full]] + (pos[full] - (k - 1))
+        out[dest] = h[full]
+
+        # short docs (0 < len < k): one hash over all tokens — rare, tiny
+        for i in np.flatnonzero((lens > 0) & (lens < k)):
+            hh = init
+            for c in crcs[starts[i] : starts[i] + lens[i]]:
+                hh = hh * prime + c
+            out[out_starts[i]] = hh
+    out[out_starts[lens == 0]] = init
+    return out, counts
+
+
+def _word_crcs_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """crc32 of every whitespace token across the batch, concatenated.
+    crc32 (zlib, C-speed) is deterministic across workers — unlike builtin
+    hash() under randomized PYTHONHASHSEED."""
     import zlib
 
-    words = text.split()
-    if not words:
-        return np.array([0xCBF29CE484222325], dtype=np.uint64)
+    word_lists = [t.split() for t in texts.fillna("")]
+    lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64, count=len(word_lists))
     crcs = np.fromiter(
-        (zlib.crc32(w.encode("utf-8")) for w in words),
+        (zlib.crc32(w.encode("utf-8")) for ws in word_lists for w in ws),
         dtype=np.uint64,
-        count=len(words),
+        count=int(lens.sum()),
     )
-    P = np.uint64(1099511628211)
-    if len(words) < k:
-        h = np.uint64(0xCBF29CE484222325)
-        for c in crcs:
-            h = h * P + c
-        return np.array([h], dtype=np.uint64)
-    n = len(crcs) - k + 1
-    with np.errstate(over="ignore"):
-        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
-        for j in range(k):
-            h = h * P + crcs[j : j + n]
+    return crcs, lens
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Single-doc twin of the batched path (same values by construction —
+    it IS the batch path on a batch of one). Kept for tests/doc purposes."""
+    h, _ = _rolling_hashes_batch(
+        *_word_crcs_batch(pd.Series([text])), k=k, prime=_FNV_PRIME, init=_FNV_OFFSET
+    )
     return h
 
 
@@ -165,14 +225,23 @@ def minhash_signature_udf(n_hashes: int = N_HASHES, shingle_k: int = 5):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        sigs = []
-        for t in texts.fillna(""):
-            sh = _shingle_hashes(t, k=shingle_k)
-            # (a*x + b) mod p, min over shingles, per hash function
-            x = sh[:, None]  # (S, 1)
-            hv = (x * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            sigs.append(hv.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(sigs)
+        B = len(texts)
+        if B == 0:
+            return pd.Series([], dtype=object)
+        crcs, lens = _word_crcs_batch(texts)
+        hashes, counts = _rolling_hashes_batch(
+            crcs, lens, k=shingle_k, prime=_FNV_PRIME, init=_FNV_OFFSET
+        )
+        seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # one vectorized pass per hash fn over the whole batch buffer;
+        # per-doc mins via minimum.reduceat (every doc has >=1 hash)
+        sig = np.empty((B, n_hashes), dtype=np.int64)
+        M = np.uint64(_MERSENNE)
+        with np.errstate(over="ignore"):
+            for hi in range(n_hashes):
+                hv = (hashes * a[hi] + b[hi]) % M
+                sig[:, hi] = np.minimum.reduceat(hv, seg_starts).astype(np.int64)
+        return pd.Series(list(sig))
 
     return _sig
 
@@ -240,34 +309,50 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------- simhash
 def simhash_udf(ngram: int = 3):
-    """64-bit SimHash over character n-grams (vectorized per batch)."""
+    """64-bit SimHash over byte n-grams, batch-vectorized with the same
+    concat-buffer pattern as the minhash path / core/lm.py: one uint8
+    buffer per Arrow batch, n-gram rolling values via global lagged adds
+    masked to full in-doc windows, per-(doc,bit) votes via add.reduceat.
+    Sub-n-gram docs hash with zlib.crc32 (deterministic across executors;
+    builtin hash() is salted per process by PYTHONHASHSEED)."""
+    import zlib
+
     a, b = _hash_params(64, seed=777)
 
     @pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            data = t.encode("utf-8")
-            if len(data) < ngram:
-                grams = np.array([hash(data) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
-            else:
-                arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-                g = arr[: len(arr) - ngram + 1].copy()
-                for j in range(1, ngram):
-                    g = g * np.uint64(257) + arr[j : len(arr) - ngram + 1 + j]
-                grams = g
-            # per-bit votes: bit k of mixed hash
-            mixed = (grams[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            bits = (mixed >> np.uint64(13)) & np.uint64(1)  # (G, 64)
-            votes = bits.sum(axis=0) * 2 > len(grams)
-            h = np.uint64(0)
-            for k in range(64):
-                if votes[k]:
-                    h |= np.uint64(1) << np.uint64(k)
-            out[i] = np.int64(h.astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(simhash_batch(list(texts.fillna("")), ngram, a, b))
 
     return _simhash
+
+
+def simhash_batch(texts: list[str], ngram: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Module-level kernel (testable across fresh processes for the
+    PYTHONHASHSEED-independence guarantee)."""
+    import zlib
+
+    B = len(texts)
+    if B == 0:
+        return np.empty(0, dtype=np.int64)
+    datas = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=B)
+    buf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+    grams, counts = _rolling_hashes_batch(
+        buf, lens, k=ngram, prime=np.uint64(257), init=np.uint64(0)
+    )
+    seg_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    # sub-n-gram docs (incl. empty): crc32 of the raw bytes
+    for i in np.flatnonzero(lens < ngram):
+        grams[seg_starts[i]] = np.uint64(zlib.crc32(datas[i]))
+    out = np.zeros(B, dtype=np.uint64)
+    M = np.uint64(_MERSENNE)
+    with np.errstate(over="ignore"):
+        for k in range(64):  # one vectorized pass per output bit
+            mixed = (grams * a[k] + b[k]) % M
+            bits = ((mixed >> np.uint64(13)) & np.uint64(1)).astype(np.int64)
+            votes = np.add.reduceat(bits, seg_starts) * 2 > counts
+            out |= votes.astype(np.uint64) << np.uint64(k)
+    return out.astype(np.int64)
 
 
 def simhash_candidates(
@@ -300,7 +385,7 @@ def simhash_candidates(
         l.join(r, ["chunk", "cval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", ham)
+        .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -199,7 +199,7 @@ def srp_bucketed_topk(
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
     return (
         cand.withColumn("cos_sim", sim)
-        .withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", F.col("vid").alias("vec_id"), "cos_sim", "rk")
     )

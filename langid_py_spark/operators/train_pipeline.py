@@ -48,8 +48,15 @@ def explode_byte_ngrams(
     extra_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
     """(doc, feature, count) tokens — reference tokenize.py semantics
-    (every byte n-gram of order 1..4), emitted via an Arrow-batched
-    mapInPandas (vectorized per batch, hex-encoded feature bytes)."""
+    (every byte n-gram of order 1..max_order), emitted via an Arrow-batched
+    mapInPandas. Fully batch-vectorized (the core/lm.py concat-buffer
+    pattern): all docs of a batch become ONE uint8 buffer; per order the
+    n-gram keys are packed big-endian into a uint64 via lagged adds masked
+    to full in-doc windows; per-(doc, gram) counts come from one np.unique
+    over (doc_idx<<32 | key). Zero per-byte Python — the only Python-level
+    work is proportional to the number of OUTPUT rows (hex slicing)."""
+    if max_order > 4:
+        raise ValueError("max_order > 4 would overflow the uint32 key packing")
     cols = [id_col, *extra_cols, text_col]
     schema = ", ".join(
         [f"{id_col} long"]
@@ -58,23 +65,56 @@ def explode_byte_ngrams(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import Counter
-
         for b in batches:
-            out_rows = []
-            for row in b[cols].itertuples(index=False):
-                did, *extras, text = row
-                data = (text or "").encode("utf-8")
-                c: Counter = Counter()
-                n = len(data)
-                for i in range(n):
-                    for order in range(1, min(max_order, n - i) + 1):
-                        c[data[i : i + order]] += 1
-                for feat, cnt in c.items():
-                    out_rows.append((did, *extras, feat.hex(), cnt))
-            yield pd.DataFrame(
-                out_rows, columns=[id_col, *extra_cols, "feature", "count"]
-            )
+            B = len(b)
+            if B == 0:
+                continue
+            datas = [(t or "").encode("utf-8") for t in b[text_col]]
+            lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=B)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            buf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            doc_idx = np.repeat(np.arange(B, dtype=np.uint64), lens)
+            pos = np.arange(total, dtype=np.int64) - starts[doc_idx.astype(np.int64)]
+            frames = []
+            key = np.zeros(total, dtype=np.uint64)
+            for order in range(1, max_order + 1):
+                # big-endian packing: key at end-pos e = bytes[e-order+1..e],
+                # oldest byte in the highest position — each step ORs the
+                # next-older byte (lag m) into byte slot m
+                m = order - 1
+                lagged = np.zeros(total, dtype=np.uint64)
+                if m:
+                    lagged[m:] = buf[:-m]
+                else:
+                    lagged = buf
+                key = key | (lagged << np.uint64(8 * m))
+                valid = pos >= m
+                combo = (doc_idx[valid] << np.uint64(32)) | (
+                    key[valid] & np.uint64(0xFFFFFFFF)
+                )
+                uniq, cnt = np.unique(combo, return_counts=True)
+                d = (uniq >> np.uint64(32)).astype(np.int64)
+                k = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                # vectorized hex: big-endian 4-byte dump, keep last `order`
+                # bytes of each key, hexlify the whole buffer, slice per row
+                kb = k.astype(">u4").tobytes()
+                hx = kb.hex()
+                w = 8  # hex chars per uint32
+                feats = [hx[i * w + (w - 2 * order) : (i + 1) * w] for i in range(len(k))]
+                frame = pd.DataFrame(
+                    {
+                        id_col: b[id_col].to_numpy()[d],
+                        "feature": feats,
+                        "count": cnt.astype(np.int64),
+                    }
+                )
+                for c in extra_cols:
+                    frame[c] = b[c].to_numpy()[d]
+                frames.append(frame[[id_col, *extra_cols, "feature", "count"]])
+            yield pd.concat(frames, ignore_index=True)
 
     return df.select(*cols).mapInPandas(run, schema=schema)
 
@@ -87,10 +127,10 @@ def df_feature_select(
     tally = tokens.select(id_col, "feature").distinct().groupBy("feature").agg(
         F.count("*").alias("df")
     )
-    tally = tally.withColumn("ord", (F.length("feature") / 2).cast("int"))
+    tally = tally.withColumn("ord", (F.length("feature") / 2).cast("long"))
     w = Window.partitionBy("ord").orderBy(F.desc("df"), F.asc("feature"))
     return (
-        tally.withColumn("rk", F.row_number().over(w))
+        tally.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= candidates_per_order)
         .select("feature", "ord", "df", "rk")
     )

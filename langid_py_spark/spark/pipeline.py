@@ -129,6 +129,9 @@ def run_pipeline(
     model_path: str = DEFAULT_MODEL_PATH,
     langs: list[str] | None = None,
     resume: bool = True,
+    sink_format: str = "parquet",
+    sink_options: dict | None = None,
+    sink_table: str | None = None,
 ) -> dict:
     """Execute + write, resumable per language bucket.
 
@@ -136,6 +139,17 @@ def run_pipeline(
     (their files are never touched — FIXTURES.md invariant 3); dynamic
     partition overwrite means a re-run of a failed bucket replaces only
     that bucket's directory.
+
+    Sink selection (north_rule: Iceberg tables at production scale):
+    * sink_format="parquet" (default) / "orc" / any path-based source —
+      DataFrameWriter.format(sink_format).save(out_path).
+    * sink_format="iceberg" — DataFrameWriterV2: writeTo(sink_table)
+      .using("iceberg").overwritePartitions(), the catalog-managed path
+      (requires the iceberg-spark-runtime jar + a configured catalog,
+      which this sandbox doesn't ship; the branch is unit-tested up to
+      the analysis error the missing catalog raises). `sink_options`
+      passes through to the writer either way (e.g. compression, or
+      iceberg table properties).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     manifest = read_manifest(out_path) if resume else {"completed_buckets": [], "metrics": {}}
@@ -174,17 +188,28 @@ def run_pipeline(
     from pyspark.sql import Observation
 
     obs = Observation("pipeline_metrics")
-    (
-        result.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_turns"),
-            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    to_write = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    ).sortWithinPartitions("conv_id", "turn_idx")
+    if sink_format == "iceberg":
+        if not sink_table:
+            raise ValueError("sink_format='iceberg' requires sink_table")
+        w2 = to_write.writeTo(sink_table).using("iceberg")
+        for k, v in (sink_options or {}).items():
+            w2 = w2.tableProperty(k, str(v))
+        # dynamic overwrite of exactly the lang_buckets present in `result`
+        # — same resume semantics as the path sink
+        w2.overwritePartitions()
+    else:
+        (
+            to_write.write.mode("overwrite")
+            .partitionBy("lang_bucket")
+            .format(sink_format)
+            .options(**(sink_options or {}))
+            .save(out_path)
         )
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode("overwrite")
-        .partitionBy("lang_bucket")
-        .parquet(out_path)
-    )
     observed = dict(obs.get)
 
     # per-partition lineage/metrics rows (small: LANG_BUCKETS × langs).
@@ -201,7 +226,12 @@ def run_pipeline(
         )
         .orderBy("lang_bucket")
     )
-    metrics.write.mode("overwrite").parquet(os.path.join(out_path, "_metrics"))
+    if sink_format == "iceberg":
+        metrics.writeTo(f"{sink_table}_metrics").using("iceberg").createOrReplace()
+    else:
+        metrics.write.mode("overwrite").format(sink_format).save(
+            os.path.join(out_path, "_metrics")
+        )
 
     mrows = {str(r["lang_bucket"]): {k: r[k] for k in ("n_turns", "n_kept", "n_convs", "total_bytes")} for r in metrics.collect()}
     manifest["metrics"].update(mrows)
@@ -211,6 +241,15 @@ def run_pipeline(
     manifest["input"] = in_path
     # observe() sums are NULL on an empty relation
     manifest["observed"] = {k: int(v or 0) for k, v in observed.items()}
-    _manifest_path(out_path).write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    _write_manifest(out_path, manifest)
     scored.unpersist()
     return manifest
+
+
+def _write_manifest(out_path: str, manifest: dict) -> None:
+    """Atomic manifest update: temp file + os.replace so a crash mid-write
+    can never leave truncated JSON that breaks the next resume."""
+    target = _manifest_path(out_path)
+    tmp = target.with_name(target.name + ".tmp")
+    tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    os.replace(tmp, target)

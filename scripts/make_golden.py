@@ -1,0 +1,297 @@
+"""Generate golden parquet oracles for the UDF-scored driver queries.
+
+The driver's DuckDB oracle can't express the langid DFA walk, the LM
+lookup, or the LSH kernels in SQL — but every one of those queries is
+DETERMINISTIC, so we pre-compute the expected output with the NumPy
+cores (the same functions the Arrow UDFs call, driven here WITHOUT
+Spark) plus a faithful pandas re-implementation of the DataFrame-side
+logic (banding, windows, joins). oracle_sql() then reads these files
+via read_parquet(), upgrading the driver check for the hot operators
+from rows-only to full row+schema+value-hash.
+
+Independence note: the VALUE oracle is the shared NumPy core by design
+(CLAUDE.md "Oracle = UDF code"); what this golden independently checks
+is everything Spark-side — Arrow round-trips, batch boundaries, join/
+window/banding logic, dtype handling — plus regression over time.
+
+Rounding matches Spark's F.round (BigDecimal HALF_UP on the shortest
+decimal repr), NOT numpy's banker's rounding.
+
+Usage:  python scripts/make_golden.py [sf]      (default 0.01)
+Output: langid_py_spark/data/golden/sf{sf}/<query>.parquet
+
+Regenerate whenever a kernel or a golden-covered query changes, then
+re-run scripts/check_oracles.py.
+"""
+
+from __future__ import annotations
+
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+from itertools import combinations
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from langid_py_spark import config as C  # noqa: E402
+from langid_py_spark.core.lm import TrigramLM  # noqa: E402
+from langid_py_spark.core.model import NBModel  # noqa: E402
+from langid_py_spark.operators import dedup  # noqa: E402
+from langid_py_spark.operators.similarity import N_BANDS as SRP_BANDS  # noqa: E402
+from langid_py_spark.operators.similarity import BAND_BITS, _planes  # noqa: E402
+
+
+def round_half_up(x: float, nd: int) -> float:
+    """Replicates Spark F.round: BigDecimal.valueOf(double) (shortest
+    decimal repr) → setScale(nd, HALF_UP) → double."""
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def rhu(arr, nd: int) -> np.ndarray:
+    return np.array([round_half_up(v, nd) for v in arr], dtype=np.float64)
+
+
+# ------------------------------------------------------------- queries
+def g_langid_documents(docs: pd.DataFrame) -> pd.DataFrame:
+    m = NBModel.load()
+    lang, _raw, norm, _nb = m.classify_batch(
+        docs["text"].fillna("").tolist(), max_bytes=C.SCORE_MAX_BYTES
+    )
+    return pd.DataFrame(
+        {"doc_id": docs["doc_id"].to_numpy(), "lang": lang, "conf_norm": rhu(norm, 6)}
+    )
+
+
+def g_perplexity_documents(docs: pd.DataFrame) -> pd.DataFrame:
+    lm = TrigramLM.load()
+    ppl = lm.perplexity_batch(
+        docs["text"].fillna("").tolist(), max_bytes=C.SCORE_MAX_BYTES
+    )
+    return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(), "ppl": rhu(ppl, 4)})
+
+
+def g_rank_languages(docs: pd.DataFrame) -> pd.DataFrame:
+    m = NBModel.load()
+    fv = m.batch_fv(docs["text"].fillna("").tolist(), max_bytes=4096)
+    probs = m.norm_probs(m.nb_classprobs(fv))
+    order = np.argsort(-probs, axis=1)  # same tie-break as rank_udf
+    cls = np.array(m.nb_classes)
+    i = np.arange(len(docs))
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"].to_numpy(),
+            "lang1": cls[order[:, 0]],
+            "prob1": rhu(probs[i, order[:, 0]], 6),
+            "lang2": cls[order[:, 1]],
+            "prob2": rhu(probs[i, order[:, 1]], 6),
+        }
+    )
+
+
+def _minhash_sigs(texts: pd.Series) -> np.ndarray:
+    a, b = dedup._hash_params(dedup.N_HASHES)
+    crcs, lens = dedup._word_crcs_batch(texts)
+    hashes, counts = dedup._rolling_hashes_batch(
+        crcs, lens, k=5, prime=dedup._FNV_PRIME, init=dedup._FNV_OFFSET
+    )
+    seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    sig = np.empty((len(lens), dedup.N_HASHES), dtype=np.int64)
+    M = np.uint64(dedup._MERSENNE)
+    with np.errstate(over="ignore"):
+        for hi in range(dedup.N_HASHES):
+            hv = (hashes * a[hi] + b[hi]) % M
+            sig[:, hi] = np.minimum.reduceat(hv, seg).astype(np.int64)
+    return sig
+
+
+def _band_pairs(ids: np.ndarray, band_keys: list[np.ndarray]) -> set[tuple[int, int]]:
+    """Distinct (id_a < id_b) pairs sharing >= 1 band value. Spark hashes
+    the band slice with xxhash64; equality of the slice == equality of the
+    hash up to negligible 64-bit collisions."""
+    pairs: set[tuple[int, int]] = set()
+    for keys in band_keys:
+        # group doc indices by band key (1-D structured view or tuple)
+        order = np.argsort(keys, axis=0, kind="stable") if keys.ndim == 1 else None
+        if keys.ndim == 1:
+            srt = keys[order]
+            idx = ids[order]
+            bounds = np.flatnonzero(np.diff(srt) != 0) + 1
+            groups = np.split(idx, bounds)
+        else:  # 2-D slice: group via void view
+            v = np.ascontiguousarray(keys).view(
+                np.dtype((np.void, keys.dtype.itemsize * keys.shape[1]))
+            ).ravel()
+            order = np.argsort(v, kind="stable")
+            srt = v[order]
+            idx = ids[order]
+            bounds = np.flatnonzero(srt[1:] != srt[:-1]) + 1
+            groups = np.split(idx, bounds)
+        for g in groups:
+            if len(g) > 1:
+                for x, y in combinations(sorted(map(int, g)), 2):
+                    pairs.add((x, y))
+    return pairs
+
+
+def g_minhash_pairs(docs: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
+    sig = _minhash_sigs(docs["text"])
+    ids = docs["doc_id"].to_numpy()
+    rows_per_band = dedup.N_HASHES // dedup.N_BANDS
+    band_keys = [
+        sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        for b in range(dedup.N_BANDS)
+    ]
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    out = []
+    for ia, ib in sorted(_band_pairs(ids, band_keys)):
+        est = (sig[id_to_row[ia]] == sig[id_to_row[ib]]).sum() / float(dedup.N_HASHES)
+        est = round_half_up(est, 6)
+        if est >= threshold:
+            out.append((ia, ib, est))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"]).astype(
+        {"id_a": np.int64, "id_b": np.int64, "est_jaccard": np.float64}
+    )
+
+
+def g_simhash_candidates(docs: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    a, b = dedup._hash_params(64, seed=777)
+    sh = dedup.simhash_batch(docs["text"].fillna("").tolist(), 3, a, b)
+    ids = docs["doc_id"].to_numpy()
+    shu = sh.astype(np.uint64)
+    band_keys = [((shu >> np.uint64(16 * c)) & np.uint64(0xFFFF)) for c in range(4)]
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    out = []
+    for ia, ib in sorted(_band_pairs(ids, band_keys)):
+        ham = int(bin(int(shu[id_to_row[ia]] ^ shu[id_to_row[ib]])).count("1"))
+        if ham <= max_hamming:
+            out.append((ia, ib, ham))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
+        {"id_a": np.int64, "id_b": np.int64, "hamming": np.int64}
+    )
+
+
+def g_srp_ann_topk(emb: pd.DataFrame, dim: int = 64, k: int = 5) -> pd.DataFrame:
+    mat32 = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    planes = _planes(dim)
+    bits = (mat32 @ planes) > 0
+    weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
+    sig = (bits @ weights).astype(np.uint64)
+    ids = emb["vec_id"].to_numpy()
+    qmask = ids < 5
+    mask = np.uint64((1 << BAND_BITS) - 1)
+    out = []
+    for qrow in np.flatnonzero(qmask):
+        qid = int(ids[qrow])
+        qsig = sig[qrow]
+        cand = np.zeros(len(ids), dtype=bool)
+        for bnd in range(SRP_BANDS):
+            sh = np.uint64(BAND_BITS * bnd)
+            cand |= ((sig >> sh) & mask) == ((qsig >> sh) & mask)
+        cand[ids == qid] = False
+        qv = mat32[qrow]
+        rows = np.flatnonzero(cand)
+        cos = np.array(
+            [
+                round_half_up(
+                    float(
+                        mat32[r] @ qv
+                        / max(
+                            np.sqrt(mat32[r] @ mat32[r]) * np.sqrt(qv @ qv), 1e-12
+                        )
+                    ),
+                    6,
+                )
+                for r in rows
+            ]
+        )
+        vid = ids[rows]
+        order = np.lexsort((vid, -cos))[:k]
+        for rk, j in enumerate(order, start=1):
+            out.append((qid, int(vid[j]), float(cos[j]), rk))
+    return pd.DataFrame(out, columns=["qid", "vec_id", "cos_sim", "rk"]).astype(
+        {"qid": np.int64, "vec_id": np.int64, "cos_sim": np.float64, "rk": np.int64}
+    )
+
+
+def g_media_features(n: int = 64) -> pd.DataFrame:
+    """Twin of multimodal.synth_media + _decode_stub (both deterministic)."""
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(9000 + i)
+        nb = int(rng.randint(128, 2048))
+        payload = rng.bytes(nb)
+        mime = ["image/png", "image/jpeg", "audio/wav"][i % 3]
+        w = 16 + payload[0] % 240
+        h = 16 + payload[1 % len(payload)] % 240
+        rows.append((i, mime, nb, w, h, 8))
+    return pd.DataFrame(
+        rows, columns=["media_id", "mime", "nbytes", "width", "height", "feat_dim"]
+    ).astype(
+        {
+            "media_id": np.int64,
+            "nbytes": np.int64,
+            "width": np.int64,
+            "height": np.int64,
+            "feat_dim": np.int64,
+        }
+    )
+
+
+def g_byte_ngram_df_topk(
+    docs: pd.DataFrame, n_docs: int = 200, max_order: int = 2, k: int = 50
+) -> pd.DataFrame:
+    """Twin of explode_byte_ngrams(limit 200) → df_feature_select(50)."""
+    from collections import Counter
+
+    sub = docs.head(n_docs)
+    df_tally: Counter = Counter()
+    for t in sub["text"].fillna(""):
+        data = t.encode("utf-8")
+        grams = set()
+        for i in range(len(data)):
+            for o in range(1, min(max_order, len(data) - i) + 1):
+                grams.add(data[i : i + o].hex())
+        df_tally.update(grams)
+    rows = []
+    items = sorted(df_tally.items())
+    for order in range(1, max_order + 1):
+        of = [(f, c) for f, c in items if len(f) == 2 * order]
+        of.sort(key=lambda fc: (-fc[1], fc[0]))  # df desc, feature asc
+        for rk, (f, c) in enumerate(of[:k], start=1):
+            rows.append((f, order, c, rk))
+    return pd.DataFrame(rows, columns=["feature", "ord", "df", "rk"]).astype(
+        {"ord": np.int64, "df": np.int64, "rk": np.int64}
+    )
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "0.01"
+    sf_dir = Path(f"/root/testdata/sf{sf}")
+    out_dir = REPO / "langid_py_spark" / "data" / "golden" / f"sf{sf}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    docs = pd.read_parquet(sf_dir / "documents.parquet")
+    emb = pd.read_parquet(sf_dir / "embeddings.parquet")
+
+    goldens = {
+        "langid_documents": g_langid_documents(docs),
+        "perplexity_documents": g_perplexity_documents(docs),
+        "rank_languages": g_rank_languages(docs),
+        "minhash_pairs": g_minhash_pairs(docs),
+        "simhash_candidates": g_simhash_candidates(docs),
+        "srp_ann_topk": g_srp_ann_topk(emb),
+        "media_features": g_media_features(),
+        "byte_ngram_df_topk": g_byte_ngram_df_topk(docs),
+    }
+    for name, frame in goldens.items():
+        p = out_dir / f"{name}.parquet"
+        frame.to_parquet(p, index=False)
+        print(f"{name}: {len(frame)} rows -> {p}")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,50 @@ def test_signatures_deterministic(spark, near_dup_docs):
     a = dedup.minhash_lsh_pairs(near_dup_docs, threshold=0.5).collect()
     b = dedup.minhash_lsh_pairs(near_dup_docs, threshold=0.5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_signatures_hashseed_independent():
+    """Signatures must be identical across freshly spawned processes with
+    different PYTHONHASHSEED — i.e. no builtin hash() anywhere in the
+    kernels (two executors must agree on every fingerprint, including the
+    sub-n-gram fallback path)."""
+    import os
+    import subprocess
+    import sys
+
+    snippet = (
+        "import numpy as np, pandas as pd\n"
+        "from langid_py_spark.operators import dedup\n"
+        "texts = ['a', 'xy', '', 'hi there world', 'the quick brown fox jumps again']\n"
+        "a, b = dedup._hash_params(64, seed=777)\n"
+        "sh = dedup.simhash_batch(texts, 3, a, b)\n"
+        "crcs, lens = dedup._word_crcs_batch(pd.Series(texts))\n"
+        "mh, _ = dedup._rolling_hashes_batch(crcs, lens, k=5,\n"
+        "    prime=dedup._FNV_PRIME, init=dedup._FNV_OFFSET)\n"
+        "print(sh.tolist(), mh.tolist())\n"
+    )
+    outs = []
+    for seed in ("1", "424242"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        r = subprocess.run(
+            [sys.executable, "-c", snippet], env=env, capture_output=True, text=True
+        )
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout)
+    assert outs[0] == outs[1]
+
+
+def test_batch_matches_single_doc():
+    """The batched concat-buffer path must equal the per-doc twin for every
+    doc shape: empty, sub-window, exactly k, long."""
+    import numpy as np
+
+    texts = ["", "one two", "a b c d e", "many words here " * 20]
+    crcs, lens = dedup._word_crcs_batch(pd.Series(texts))
+    batch, counts = dedup._rolling_hashes_batch(
+        crcs, lens, k=5, prime=dedup._FNV_PRIME, init=dedup._FNV_OFFSET
+    )
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    for i, t in enumerate(texts):
+        single = dedup._shingle_hashes(t, k=5)
+        assert batch[offs[i] : offs[i + 1]].tolist() == single.tolist(), t

@@ -122,3 +122,38 @@ def test_train_nb_on_spark_runs(spark):
     assert m.nb_numfeats > 0 and len(m.nb_classes) == 5
     langs, _, norm, _ = m.classify_batch(["table scan fast", ""])
     assert all(l in m.nb_classes for l in langs)
+
+
+def test_explode_byte_ngrams_matches_naive(spark):
+    """The batch-vectorized n-gram explosion must reproduce the naive
+    per-byte Counter semantics exactly (every order 1..4, per-doc counts),
+    including multi-byte UTF-8, empty docs and docs shorter than max_order."""
+    from collections import Counter
+
+    from langid_py_spark.operators.train_pipeline import explode_byte_ngrams
+
+    rows = [
+        (0, "en", "s0", "hello world"),
+        (1, "zh", "s1", "你好世界"),  # multi-byte UTF-8
+        (2, "en", "s0", ""),
+        (3, "de", "s1", "ab"),  # shorter than max_order
+        (4, "fr", "s0", "aaaa aaaa"),  # repeats → counts > 1
+        (5, "en", "s1", None),  # null text
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "source", "text"])
+    )
+    got = {
+        (r["doc_id"], r["lang"], r["source"], r["feature"]): r["count"]
+        for r in explode_byte_ngrams(docs, max_order=4).collect()
+    }
+    want = {}
+    for did, lang, src, text in rows:
+        data = (text or "").encode("utf-8")
+        c = Counter()
+        for i in range(len(data)):
+            for order in range(1, min(4, len(data) - i) + 1):
+                c[data[i : i + order]] += 1
+        for feat, cnt in c.items():
+            want[(did, lang, src, feat.hex())] = cnt
+    assert got == want
