@@ -333,6 +333,20 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_bucketed_topk(emb, queries_df, dim=64, k=5)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path beside SRP-LSH): spherical-k-means
+    coarse quantizer trained on a bounded deterministic sample, candidates
+    from an equi-join on cluster_id, exact cosine re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.fit_ivf_centroids(
+        emb, n_centroids=16, sample_rows=2000
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(emb, queries_df, centroids, k=5, n_probe=4)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from langid_py_spark.operators.multimodal import decode_features, synth_media
 
@@ -407,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_candidates": q_simhash_candidates,
         "srp_ann_topk": q_srp_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
         "byte_ngram_df_topk": q_byte_ngram_df_topk,
         "rank_languages": q_rank_languages,
@@ -579,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _golden_sql("minhash_pairs"),
         "simhash_candidates": _golden_sql("simhash_candidates"),
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
+        "ivf_ann_topk": _golden_sql("ivf_ann_topk"),
         "media_features": _golden_sql("media_features"),
         "byte_ngram_df_topk": _golden_sql("byte_ngram_df_topk"),
     }

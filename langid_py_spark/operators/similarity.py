@@ -1,15 +1,23 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 * brute-force cosine top-k — the correctness baseline. JVM-side only:
   dot product via `F.zip_with` + `F.aggregate`, ranking via a window.
   O(Q x N); used directly when the query side is small enough to
   broadcast (it is, by construction: queries are a tiny dim table).
-* LSH-bucketed (random hyperplane / signed random projection) — the
-  scale path: each vector maps to a B-bit signature; candidates share a
+* LSH-bucketed (random hyperplane / signed random projection) — a scale
+  path: each vector maps to a B-bit signature; candidates share a
   signature band, so the join is an equi-join on a spread key instead of
   a cross join. Recall vs brute force is property-tested.
+* IVF (inverted-file, coarse spherical k-means quantizer) — the other
+  standard scale path: centroids are trained driver-side on a BOUNDED
+  sample (the classic FAISS recipe — at 100 TB you sample ~1M vectors,
+  still driver-feasible), every vector is assigned to its nearest
+  centroid by a vectorized Arrow UDF (one matmul per batch), and a
+  query probes its `n_probe` nearest centroids: candidates come from an
+  equi-join on cluster_id (bounded-cardinality key; AQE handles the
+  residual skew of unbalanced clusters), then exact cosine re-rank.
 
 Embeddings fixture: /root/testdata/sf*/embeddings.parquet
 (vec_id bigint, embedding array<float>, label int).
@@ -199,6 +207,132 @@ def srp_bucketed_topk(
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
     return (
         cand.withColumn("cos_sim", sim)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("vid").alias("vec_id"), "cos_sim", "rk")
+    )
+
+
+# ------------------------------------------------- IVF (scale path #2)
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.maximum(n, 1e-12)
+
+
+def spherical_kmeans(
+    mat: np.ndarray, n_centroids: int, seed: int = 123, n_iter: int = 15
+) -> np.ndarray:
+    """Deterministic spherical k-means (cosine Lloyd's): seeded init from
+    sample rows, fixed iteration count, empty clusters keep their previous
+    centroid. Returns L2-normalized (n_centroids, dim) float64."""
+    x = _l2_normalize(np.asarray(mat, dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    init = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    c = x[np.sort(init)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _l2_normalize(c)
+    return c
+
+
+def fit_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 123,
+) -> np.ndarray:
+    """Train the coarse quantizer on a bounded, DETERMINISTIC sample (first
+    `sample_rows` by id — not rand(), so goldens/retries agree). This is
+    the only driver-side step; assignment and search stay distributed."""
+    pdf = (
+        vectors.orderBy(F.asc(id_col))
+        .limit(sample_rows)
+        .select(vec_col)
+        .toPandas()
+    )
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return spherical_kmeans(mat, n_centroids, seed=seed)
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """cluster_id = argmax(normalized_vec @ centroids.T) — one matmul per
+    Arrow batch. Centroids ride the UDF closure (tiny: K x dim floats),
+    the pickled-closure analogue of an explicit broadcast."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf(T.LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = _l2_normalize(
+            np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        )
+        return pd.Series(np.argmax(mat @ c.T, axis=1).astype(np.int64))
+
+    return _assign
+
+
+def ivf_probe_udf(centroids: np.ndarray, n_probe: int):
+    """Array of the query's n_probe nearest centroid ids (dot desc,
+    centroid id asc tie-break — deterministic)."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        mat = _l2_normalize(
+            np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        )
+        sims = mat @ c.T  # (B, K)
+        # stable argsort on -sims == (dot desc, centroid id asc) tie-break
+        order = np.argsort(-sims, axis=1, kind="stable")
+        return pd.Series(list(order[:, :n_probe].astype(np.int64)))
+
+    return _probe
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF ANN: candidates = vectors in the query's n_probe nearest
+    clusters; exact cosine re-rank. Every vector lives in EXACTLY one
+    cluster and a query's probe list is distinct, so (qid, vid) candidates
+    are already unique — no dropDuplicates shuffle. Plan: two maps
+    (assign/probe UDFs) -> explode (n_probe rows/query) -> equi-join on
+    cluster_id -> window top-k per qid."""
+    assign = ivf_assign_udf(centroids)
+    probe = ivf_probe_udf(centroids, n_probe)
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        assign(F.col(vec_col)).alias("cluster_id"),
+    )
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+        F.explode(probe(F.col(qvec_col))).alias("cluster_id"),
+    )
+    sim = F.round(
+        _dot(F.col("v"), F.col("qv"))
+        / F.greatest(_norm(F.col("v")) * _norm(F.col("qv")), F.lit(1e-12)),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
+    return (
+        v.join(F.broadcast(q), "cluster_id")
+        .filter(F.col("vid") != F.col("qid"))
+        .withColumn("cos_sim", sim)
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", F.col("vid").alias("vec_id"), "cos_sim", "rk")

@@ -87,3 +87,70 @@ def run_stream_to_parquet(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------- custom stateful operator
+STATEFUL_VOTE_OUT = (
+    "conv_id string, conv_lang string, conv_lang_weight long, "
+    "conv_total_weight long"
+)
+_STATEFUL_VOTE_STATE = "langs array<string>, weights array<long>"
+
+
+def stateful_conversation_vote(
+    scored: DataFrame, ttl_minutes: int = 30
+) -> DataFrame:
+    """Cross-micro-batch conversation vote via applyInPandasWithState.
+
+    foreachBatch votes (run_stream_to_parquet) are consistent only WITHIN
+    one micro-batch; this operator keeps a per-conv_id running tally of
+    byte-weights per language in Spark's state store, so a conversation
+    whose turns arrive across many micro-batches converges to the same
+    length-weighted argmax as the batch vote (spark/vote.py semantics:
+    weight = sum(nbytes), tie-break lang asc). Each update emits the
+    conversation's CURRENT winner; idle conversations are evicted after
+    `ttl_minutes` of processing time (bounded state at 10^12-turn scale —
+    the checkpoint holds only live conversations).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = ttl_minutes * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            langs, weights = state.get
+            tally = dict(zip(langs, weights))
+        else:
+            tally = {}
+        for pdf in pdfs:
+            for lang, w in zip(
+                pdf["lang"].to_numpy(), pdf["nbytes"].to_numpy()
+            ):
+                tally[lang] = tally.get(lang, 0) + int(w)
+        state.update((list(tally), [int(v) for v in tally.values()]))
+        state.setTimeoutDuration(ttl_ms)
+        best_lang, best_w = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "conv_lang": [best_lang],
+                "conv_lang_weight": [best_w],
+                "conv_total_weight": [sum(tally.values())],
+            }
+        )
+
+    return (
+        scored.select("conv_id", "lang", "nbytes")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            STATEFUL_VOTE_OUT,
+            _STATEFUL_VOTE_STATE,
+            "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

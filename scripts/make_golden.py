@@ -218,6 +218,49 @@ def g_srp_ann_topk(emb: pd.DataFrame, dim: int = 64, k: int = 5) -> pd.DataFrame
     )
 
 
+def g_ivf_ann_topk(
+    emb: pd.DataFrame, n_centroids: int = 16, n_probe: int = 4, k: int = 5
+) -> pd.DataFrame:
+    """Twin of q_ivf_ann_topk: same sample (first 2000 by vec_id), same
+    spherical_kmeans function, same assign/probe/re-rank logic in numpy."""
+    from langid_py_spark.operators.similarity import _l2_normalize, spherical_kmeans
+
+    e = emb.sort_values("vec_id").reset_index(drop=True)
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in e["embedding"]])
+    c = spherical_kmeans(mat[:2000], n_centroids)
+    norm = _l2_normalize(mat)
+    assign = np.argmax(norm @ c.T, axis=1)
+    ids = e["vec_id"].to_numpy()
+    out = []
+    for qrow in np.flatnonzero(ids < 5):
+        qid = int(ids[qrow])
+        sims_c = norm[qrow] @ c.T
+        probes = np.argsort(-sims_c, kind="stable")[:n_probe]
+        cand = np.isin(assign, probes)
+        cand[ids == qid] = False
+        rows = np.flatnonzero(cand)
+        qv = mat[qrow]
+        cos = np.array(
+            [
+                round_half_up(
+                    float(
+                        mat[r] @ qv
+                        / max(np.sqrt(mat[r] @ mat[r]) * np.sqrt(qv @ qv), 1e-12)
+                    ),
+                    6,
+                )
+                for r in rows
+            ]
+        )
+        vid = ids[rows]
+        order = np.lexsort((vid, -cos))[:k]
+        for rk, j in enumerate(order, start=1):
+            out.append((qid, int(vid[j]), float(cos[j]), rk))
+    return pd.DataFrame(out, columns=["qid", "vec_id", "cos_sim", "rk"]).astype(
+        {"qid": np.int64, "vec_id": np.int64, "cos_sim": np.float64, "rk": np.int64}
+    )
+
+
 def g_media_features(n: int = 64) -> pd.DataFrame:
     """Twin of multimodal.synth_media + _decode_stub (both deterministic)."""
     rows = []
@@ -284,6 +327,7 @@ def main() -> None:
         "minhash_pairs": g_minhash_pairs(docs),
         "simhash_candidates": g_simhash_candidates(docs),
         "srp_ann_topk": g_srp_ann_topk(emb),
+        "ivf_ann_topk": g_ivf_ann_topk(emb),
         "media_features": g_media_features(),
         "byte_ngram_df_topk": g_byte_ngram_df_topk(docs),
     }

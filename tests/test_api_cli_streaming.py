@@ -105,3 +105,74 @@ def test_stream_resume_from_checkpoint_no_dup(spark, fixture_path, tmp_path):
     q2 = run_stream_to_parquet(spark, fixture_path, out, ckpt)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stateful_vote_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState vote: a conversation whose turns arrive in
+    DIFFERENT micro-batches (maxFilesPerTrigger=1, two file drops) must
+    converge to the same winner as the batch vote over all turns."""
+    import pandas as pd
+
+    from langid_py_spark.spark.vote import conversation_vote_unsalted
+    from langid_py_spark.streaming.stream_pipeline import (
+        stateful_conversation_vote,
+    )
+
+    drop1 = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "lang": ["en", "de", "fr"],
+            "nbytes": [100, 10, 50],
+        }
+    )
+    # c1 flips to 'de' only once drop2 arrives; c2 ties en==fr -> 'en' (asc)
+    drop2 = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2"],
+            "lang": ["de", "en"],
+            "nbytes": [200, 50],
+        }
+    )
+    src = tmp_path / "drops"
+    src.mkdir()
+    drop1.to_parquet(src / "a.parquet", index=False)
+    drop2.to_parquet(src / "b.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("conv_id string, lang string, nbytes long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful_conversation_vote(stream)
+        .writeStream.format("memory")
+        .queryName("sv")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sv").toPandas()
+    # >1 update per conv proves the state actually spanned micro-batches
+    assert got.groupby("conv_id").size().max() > 1
+    # final state per conv = row with the max total weight (monotone)
+    final = (
+        got.sort_values(["conv_id", "conv_total_weight"])
+        .groupby("conv_id")
+        .tail(1)
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    both = spark.createDataFrame(pd.concat([drop1, drop2]))
+    want = (
+        conversation_vote_unsalted(both)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        final[["conv_id", "conv_lang", "conv_lang_weight", "conv_total_weight"]],
+        want[["conv_id", "conv_lang", "conv_lang_weight", "conv_total_weight"]],
+        check_dtype=False,
+    )

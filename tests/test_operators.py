@@ -157,3 +157,42 @@ def test_explode_byte_ngrams_matches_naive(spark):
         for feat, cnt in c.items():
             want[(did, lang, src, feat.hex())] = cnt
     assert got == want
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On data with real cluster structure (where IVF's assumption holds),
+    IVF@n_probe=2 must recover most of the brute-force top-5; with
+    n_probe = n_centroids (probe everything) it must equal brute force
+    exactly (same re-rank, superset candidates)."""
+    from langid_py_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 32) * 4
+    vecs = np.vstack(
+        [centers[i % 8] + rng.randn(32) * 0.5 for i in range(400)]
+    ).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(400, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = fit_ivf_centroids(emb, n_centroids=8, sample_rows=400)
+    brute = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    ivf2 = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, q, cents, k=5, n_probe=2).collect()
+    }
+    assert len(ivf2 & brute) / len(brute) >= 0.8, "IVF recall@5 too low"
+    ivf_all = sorted(
+        map(tuple, ivf_topk(emb, q, cents, k=5, n_probe=8).collect())
+    )
+    assert ivf_all == sorted(map(tuple, cosine_topk_bruteforce(emb, q, k=5).collect()))
