@@ -149,6 +149,13 @@ def ig_weights(
     IG(f) = H(C) - [P(f) H(C|f) + P(!f) H(C|!f)], entropies from
     per-(feature,label) distinct-doc counts vs global label counts.
     The candidate set is broadcast (small by construction: top-k/order).
+
+    Flat-aggregation form (no collect_list / higher-order functions —
+    HOFs are CodegenFallback and drag the whole Project into interpreted
+    eval, per CLAUDE.md): materialize the dense (candidate × label) grid
+    (tiny: top-k features × |labels|), left-join presence counts, and use
+    the identity  Σ_l -(c_l/n) log2(c_l/n) = log2(n) - (Σ_l c_l log2 c_l)/n
+    so both conditional entropies reduce to plain groupBy sums.
     """
     n_docs_total = docs.count()
     label_counts = docs.groupBy(label_col).agg(F.count("*").alias("n_label"))
@@ -160,61 +167,34 @@ def ig_weights(
         .groupBy("feature", label_col)
         .agg(F.count("*").alias("n_fl"))
     )
-    # entropy pieces: for each feature, with-feature counts per label;
-    # absent = label_total - present
-    j = present.join(F.broadcast(label_counts), label_col)
-    plogp = lambda c, tot: F.when(  # noqa: E731
-        (c > 0) & (tot > 0), -(c / tot) * F.log2(c / tot)
-    ).otherwise(F.lit(0.0))
+    grid = candidates.select("feature").crossJoin(F.broadcast(label_counts))
+    g = grid.join(present, ["feature", label_col], "left").fillna(0, subset=["n_fl"])
 
-    per_feature = j.groupBy("feature").agg(
-        F.sum("n_fl").alias("n_f"),
-        F.collect_list(F.struct(label_col, "n_fl", "n_label")).alias("rows"),
+    xlogx = lambda c: F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))  # noqa: E731
+    nfl = F.col("n_fl").cast("double")
+    absent = (F.col("n_label") - F.col("n_fl")).cast("double")
+    per_feature = g.groupBy("feature").agg(
+        F.sum(nfl).alias("n_f"),
+        F.sum(xlogx(nfl)).alias("s_p"),
+        F.sum(xlogx(absent)).alias("s_a"),
     )
-    # entropy over small per-feature label lists via higher-order funcs
-    n_f = F.col("n_f").cast("double")
-    n_tot = F.lit(float(n_docs_total))
-    h_cond_present = F.aggregate(
-        "rows",
-        F.lit(0.0),
-        lambda acc, r: acc
-        + F.when(
-            r["n_fl"] > 0,
-            -(r["n_fl"] / n_f) * F.log2(r["n_fl"] / n_f),
-        ).otherwise(F.lit(0.0)),
-    )
-    # absent-side per-label counts need all labels; compute via SQL join of
-    # label totals collected to the driver (|labels| is tiny)
+
     totals = {r[label_col]: r["n_label"] for r in label_counts.collect()}
     h_c = entropy(np.array(list(totals.values()), dtype=np.float64))
-    totals_map = F.create_map(
-        *[x for kv in totals.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+    n_tot = F.lit(float(n_docs_total))
+    n_f = F.col("n_f")
+    n_a = n_tot - n_f
+    h_cond_present = F.when(
+        n_f > 0, F.log2(n_f) - F.col("s_p") / n_f
+    ).otherwise(F.lit(0.0))
+    h_cond_absent = F.when(
+        n_a > 0, F.log2(n_a) - F.col("s_a") / n_a
+    ).otherwise(F.lit(0.0))
+    ig = F.lit(h_c) - (n_f / n_tot) * h_cond_present - (n_a / n_tot) * h_cond_absent
+    return (
+        per_feature.filter(n_f > 0)  # same contract as before: only
+        .select("feature", F.round(ig, 10).alias("ig"))  # present features
     )
-    absent_pairs = F.transform(
-        F.map_entries(totals_map),
-        lambda e: e["value"]
-        - F.coalesce(
-            F.get(F.filter("rows", lambda r: r[label_col] == e["key"]), 0)[
-                "n_fl"
-            ].cast("double"),
-            F.lit(0.0),
-        ),
-    )
-    n_absent = n_tot - n_f
-    h_cond_absent = F.aggregate(
-        absent_pairs,
-        F.lit(0.0),
-        lambda acc, c: acc
-        + F.when(
-            (c > 0) & (n_absent > 0), -(c / n_absent) * F.log2(c / n_absent)
-        ).otherwise(F.lit(0.0)),
-    )
-    ig = (
-        F.lit(h_c)
-        - (n_f / n_tot) * h_cond_present
-        - (n_absent / n_tot) * h_cond_absent
-    )
-    return per_feature.select("feature", F.round(ig, 10).alias("ig"))
 
 
 def ld_feature_select(

@@ -187,12 +187,30 @@ def run_pipeline(
     # observe() rides the write job for free (A7 pipeline metrics).
     from pyspark.sql import Observation
 
+    # ALL metrics (global + per-bucket lineage) ride the write job as
+    # observe() aggregates — no second pass over the scored data. Per
+    # bucket: n_turns / n_kept (conditional sums), n_convs
+    # (approx_count_distinct over a bucket-masked key, HLL merges fine
+    # inside observe), total_bytes. LANG_BUCKETS x 4 + 2 columns of
+    # cheap conditional aggregation vs an entire extra job + shuffle.
     obs = Observation("pipeline_metrics")
-    to_write = result.observe(
-        obs,
+    aggs = [
         F.count(F.lit(1)).alias("n_turns"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
-    ).sortWithinPartitions("conv_id", "turn_idx")
+    ]
+    for b in range(C.LANG_BUCKETS):
+        cond = F.col("lang_bucket") == b
+        aggs += [
+            F.sum(cond.cast("long")).alias(f"b{b}_n_turns"),
+            F.sum((cond & F.col("keep")).cast("long")).alias(f"b{b}_n_kept"),
+            F.approx_count_distinct(F.when(cond, F.col("conv_id"))).alias(
+                f"b{b}_n_convs"
+            ),
+            F.sum(F.when(cond, F.col("nbytes")).otherwise(F.lit(0))).alias(
+                f"b{b}_total_bytes"
+            ),
+        ]
+    to_write = result.observe(obs, *aggs).sortWithinPartitions("conv_id", "turn_idx")
     if sink_format == "iceberg":
         if not sink_table:
             raise ValueError("sink_format='iceberg' requires sink_table")
@@ -212,19 +230,27 @@ def run_pipeline(
         )
     observed = dict(obs.get)
 
-    # per-partition lineage/metrics rows (small: LANG_BUCKETS × langs).
-    # Computed from `result` (persisted upstream) — no output re-read;
-    # approx_count_distinct keeps this to ONE extra pass, no extra
-    # shuffle beyond its own tiny agg.
-    metrics = (
-        result.groupBy("lang_bucket")
-        .agg(
-            F.count("*").alias("n_turns"),
-            F.sum(F.col("keep").cast("long")).alias("n_kept"),
-            F.approx_count_distinct("conv_id").alias("n_convs"),
-            F.sum("nbytes").alias("total_bytes"),
-        )
-        .orderBy("lang_bucket")
+    # per-partition lineage/metrics rows from the observed aggregates —
+    # only `todo` buckets are updated (done buckets kept from the prior
+    # manifest; rewriting them from this run's filtered plan would zero
+    # them out)
+    mrows = {
+        str(b): {
+            k: int(observed[f"b{b}_{k}"] or 0)
+            for k in ("n_turns", "n_kept", "n_convs", "total_bytes")
+        }
+        for b in todo
+    }
+    manifest["metrics"].update(mrows)
+    # the _metrics table mirrors the FULL manifest map (all completed
+    # buckets, incl. prior runs) — a tiny driver-built frame, no extra
+    # pass over the data
+    metrics = spark.createDataFrame(
+        [
+            (int(b), int(m["n_turns"]), int(m["n_kept"]), int(m["n_convs"]), int(m["total_bytes"]))
+            for b, m in sorted(manifest["metrics"].items(), key=lambda kv: int(kv[0]))
+        ],
+        "lang_bucket int, n_turns long, n_kept long, n_convs long, total_bytes long",
     )
     if sink_format == "iceberg":
         metrics.writeTo(f"{sink_table}_metrics").using("iceberg").createOrReplace()
@@ -232,15 +258,15 @@ def run_pipeline(
         metrics.write.mode("overwrite").format(sink_format).save(
             os.path.join(out_path, "_metrics")
         )
-
-    mrows = {str(r["lang_bucket"]): {k: r[k] for k in ("n_turns", "n_kept", "n_convs", "total_bytes")} for r in metrics.collect()}
-    manifest["metrics"].update(mrows)
     # the write job covered every `todo` bucket — a bucket that produced no
     # rows is still complete (nothing to resume)
     manifest["completed_buckets"] = sorted(done | set(todo))
     manifest["input"] = in_path
-    # observe() sums are NULL on an empty relation
-    manifest["observed"] = {k: int(v or 0) for k, v in observed.items()}
+    # observe() sums are NULL on an empty relation; per-bucket entries
+    # already live in manifest["metrics"], keep only the globals here
+    manifest["observed"] = {
+        k: int(observed[k] or 0) for k in ("n_turns", "n_kept")
+    }
     _write_manifest(out_path, manifest)
     scored.unpersist()
     return manifest

@@ -199,3 +199,29 @@ def test_sink_format_iceberg_plumbing(spark, fixture_path, tmp_path):
             sink_format="iceberg",
             sink_table="lake.db.transcripts_clean",
         )
+
+
+def test_metrics_ride_the_write_job(spark, fixture_path, tmp_path):
+    """Per-bucket lineage metrics (now observe() columns on the write job,
+    not a second pass) must match a direct aggregation of the output."""
+    out = str(tmp_path / "metrics_out")
+    m = run_pipeline(spark, fixture_path, out)
+    got = (
+        spark.read.parquet(f"{out}/_metrics")
+        .toPandas()
+        .set_index("lang_bucket")
+        .sort_index()
+    )
+    outdf = spark.read.parquet(out).toPandas()
+    for b, grp in outdf.groupby("lang_bucket"):
+        assert got.loc[b, "n_turns"] == len(grp)
+        assert got.loc[b, "n_kept"] == int(grp["keep"].sum())
+        assert got.loc[b, "total_bytes"] == int(grp["nbytes"].sum())
+        # HLL estimate (default rsd 0.05): allow a few counts of slack on
+        # small buckets
+        exact = grp["conv_id"].nunique()
+        assert abs(got.loc[b, "n_convs"] - exact) <= max(5, 0.1 * exact)
+    # manifest mirrors the table
+    man = read_manifest(out)
+    assert {int(k) for k in man["metrics"]} == set(got.index)
+    assert man["observed"]["n_turns"] == len(outdf)

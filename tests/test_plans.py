@@ -106,3 +106,20 @@ def test_rules_scrub_stage_whole_stage_codegen(spark, fixture_path):
     # codegen'd operators render with a "*(stageId)" prefix
     assert plan.lstrip().startswith("*(") or "WholeStageCodegen" in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_ivf_join_is_broadcast_equi_join(spark):
+    """IVF candidates come from an equi-join on cluster_id with the tiny
+    probe side broadcast — never a cartesian/nested-loop."""
+    from pyspark.sql import functions as F
+
+    from langid_py_spark.operators.similarity import fit_ivf_centroids, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = fit_ivf_centroids(emb, n_centroids=8, sample_rows=500)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = _plan(ivf_topk(emb, q, cents, k=5, n_probe=2))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
