@@ -72,6 +72,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap Catalyst-only language guess (charset fractions + stopword
+    hits) — the pre-filter tier that runs BEFORE the NB model at scale."""
+    return textstats.lang_heuristic(_t(spark, sf_dir, "documents"))
+
+
 def q_word_df_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.word_df_tally(_t(spark, sf_dir, "documents"))
 
@@ -398,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "lang_heuristic": q_lang_heuristic,
         "word_df_tally": q_word_df_tally,
         "topk_words_per_lang": q_topk_words_per_lang,
         "topk_words_per_source": q_topk_words_per_source,
@@ -453,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_stats": textstats.token_stats_oracle_sql("documents"),
         "doc_fingerprint": textstats.doc_fingerprint_oracle_sql("documents"),
+        "lang_heuristic": textstats.lang_heuristic_oracle_sql("documents"),
         "word_df_tally": textstats.word_df_tally_oracle_sql("documents"),
         "topk_words_per_lang": textstats.topk_words_oracle_sql(
             "documents", group_col="lang", k=5

@@ -161,3 +161,90 @@ def topk_words_oracle_sql(table: str = "documents", group_col: str = "lang", k: 
         )
     ) WHERE rk <= {k}
     """
+
+
+# ----------------------------------------------------- lang heuristic
+# Cheap Catalyst-only language guess (charset fractions + ASCII stopword
+# hits) — the n-gram-heuristic pre-filter tier of a 100 TB pipeline: at
+# scale you run THIS first (pure codegen, no UDF) and reserve the full
+# NB model for the survivors. Patterns stay inside the Java-regex ∩ RE2
+# ∩ Python-re common dialect (CLAUDE.md invariant); char counting uses
+# length(x) - length(regexp_replace(x, class, '')) instead of
+# regexp_extract_all so no per-char array is materialized.
+_CJK_CLASS = "[一-鿿぀-ヿ가-힯]"
+_CYR_CLASS = "[Ѐ-ӿ]"
+_AR_CLASS = "[؀-ۿ]"
+_STOPWORDS = {
+    "en": "(the|and|of|to|is)",
+    "de": "(der|die|und|ist|das)",
+    "fr": "(le|la|les|et|est)",
+    "es": "(el|los|las|es|y)",
+}
+
+
+def lang_heuristic(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+
+    def class_frac(cls: str):
+        return (F.length(t) - F.length(F.regexp_replace(t, cls, ""))) / n
+
+    low = F.lower(t)
+    sw = {
+        lang: F.size(
+            F.regexp_extract_all(low, F.lit(f"\\b{words}\\b"), F.lit(0))
+        ).cast("long")
+        for lang, words in _STOPWORDS.items()
+    }
+    c_en, c_de, c_fr, c_es = sw["en"], sw["de"], sw["fr"], sw["es"]
+    guess = (
+        F.when(class_frac(_CJK_CLASS) > 0.3, "cjk")
+        .when(class_frac(_CYR_CLASS) > 0.3, "ru")
+        .when(class_frac(_AR_CLASS) > 0.3, "ar")
+        .when((c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0), "en")
+        .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
+        .when((c_fr >= c_es) & (c_fr > 0), "fr")
+        .when(c_es > 0, "es")
+        .otherwise("und")
+    )
+    return df.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        c_en.alias("sw_en"),
+        c_de.alias("sw_de"),
+        c_fr.alias("sw_fr"),
+        c_es.alias("sw_es"),
+    )
+
+
+def lang_heuristic_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    t = "coalesce(text, '')"
+    n = f"greatest(length({t}), 1)"
+
+    def frac(cls: str) -> str:
+        return f"(length({t}) - length(regexp_replace({t}, '{cls}', '', 'g'))) / CAST({n} AS DOUBLE)"
+
+    sw = {
+        lang: (
+            f"CAST(len(regexp_extract_all(lower({t}), '\\b{words}\\b')) AS BIGINT)"
+        )
+        for lang, words in _STOPWORDS.items()
+    }
+    return f"""
+    SELECT {id_col},
+           CASE
+             WHEN {frac(_CJK_CLASS)} > 0.3 THEN 'cjk'
+             WHEN {frac(_CYR_CLASS)} > 0.3 THEN 'ru'
+             WHEN {frac(_AR_CLASS)} > 0.3 THEN 'ar'
+             WHEN {sw['en']} >= {sw['de']} AND {sw['en']} >= {sw['fr']}
+                  AND {sw['en']} >= {sw['es']} AND {sw['en']} > 0 THEN 'en'
+             WHEN {sw['de']} >= {sw['fr']} AND {sw['de']} >= {sw['es']}
+                  AND {sw['de']} > 0 THEN 'de'
+             WHEN {sw['fr']} >= {sw['es']} AND {sw['fr']} > 0 THEN 'fr'
+             WHEN {sw['es']} > 0 THEN 'es'
+             ELSE 'und'
+           END AS lang_guess,
+           {sw['en']} AS sw_en, {sw['de']} AS sw_de,
+           {sw['fr']} AS sw_fr, {sw['es']} AS sw_es
+    FROM {table}
+    """

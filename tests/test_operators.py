@@ -196,3 +196,25 @@ def test_ivf_recall_on_clustered_data(spark):
         map(tuple, ivf_topk(emb, q, cents, k=5, n_probe=8).collect())
     )
     assert ivf_all == sorted(map(tuple, cosine_topk_bruteforce(emb, q, k=5).collect()))
+
+
+def test_lang_heuristic_branches(spark):
+    """Every branch of the charset/stopword heuristic fires on a doc that
+    should trigger it (the sf fixture is English-only, so the multilingual
+    branches need explicit coverage)."""
+    from langid_py_spark.operators.textstats import lang_heuristic
+
+    rows = [
+        (0, "the cat and the dog of the house is here"),
+        (1, "der hund und die katze ist das haus"),
+        (2, "le chat et la maison est les arbres"),
+        (3, "el perro y los gatos es las casas"),
+        (4, "这是一个中文句子需要被正确识别出来"),
+        (5, "Это русское предложение для проверки"),
+        (6, "هذه جملة عربية للاختبار هنا"),
+        (7, "zzz qqq xxx"),
+        (8, None),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_heuristic(docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "cjk", 5: "ru", 6: "ar", 7: "und", 8: "und"}
