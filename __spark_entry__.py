@@ -370,6 +370,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): near-dup pairs
+    sharing >= 2 fingerprints, scored by fingerprint-set Jaccard. Long
+    grams (k=20, w=12) because the synthetic small-vocab fixture shares
+    short grams ubiquitously; real corpora typically use k~8."""
+    return dedup.winnow_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=2, k=20, window=12
+    )
+
+
 def q_rank_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: full language ranking per doc (top-3 flattened; rows-only)."""
     from langid_py_spark.spark.scorer import rank_udf
@@ -427,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_documents": q_perplexity_documents,
         "minhash_pairs": q_minhash_pairs,
         "simhash_candidates": q_simhash_candidates,
+        "winnow_pairs": q_winnow_pairs,
         "srp_ann_topk": q_srp_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
@@ -601,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_languages": _golden_sql("rank_languages"),
         "minhash_pairs": _golden_sql("minhash_pairs"),
         "simhash_candidates": _golden_sql("simhash_candidates"),
+        "winnow_pairs": _golden_sql("winnow_pairs"),
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
         "ivf_ann_topk": _golden_sql("ivf_ann_topk"),
         "media_features": _golden_sql("media_features"),

@@ -16,6 +16,10 @@ Four families, each with its scale story:
 * simhash           — 64-bit SimHash fingerprints; near-dup candidates
                       share one of 4 16-bit bands (Hamming ≤ 3 within
                       band scheme); verification by popcount distance.
+* winnowing         — rolling-hash document fingerprints (window-min of
+                      k-gram hashes, Schleimer et al. 2003): candidates
+                      share >= min_shared fingerprints via an equi-join
+                      on the fingerprint value.
 
 MinHash/SimHash signature computation is a vectorized Arrow UDF (hash
 mixing in NumPy, no per-row Python); candidate generation and
@@ -389,3 +393,94 @@ def simhash_candidates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ----------------------------------------------- winnowing fingerprints
+def _window_min_batch(
+    hashes: np.ndarray, counts: np.ndarray, w: int
+) -> list[np.ndarray]:
+    """Per-doc DISTINCT window-min fingerprints (winnowing, Schleimer et
+    al. 2003 family): the min k-gram hash of every w-window is selected;
+    the distinct set retains the winnowing guarantee that any match of
+    length >= w + k - 1 shares a fingerprint. Batch-vectorized: window
+    mins via w-1 lagged np.minimum passes over the concat buffer, masked
+    to full in-doc windows; docs with < w hashes contribute the min of
+    what they have."""
+    B = len(counts)
+    total = int(counts.sum())
+    seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    doc_id = np.repeat(np.arange(B), counts)
+    pos = np.arange(total, dtype=np.int64) - seg[doc_id]
+    m = hashes.copy()
+    for lag in range(1, w):
+        lagged = np.empty_like(hashes)
+        lagged[:lag] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        lagged[lag:] = hashes[:-lag]
+        m = np.minimum(m, lagged)
+    valid = pos >= w - 1
+    out: list[np.ndarray] = []
+    for i in range(B):
+        a, b = seg[i], seg[i] + counts[i]
+        vm = m[a:b][valid[a:b]]
+        if len(vm) == 0:  # fewer than w hashes: one fingerprint, the min
+            # (every doc has >= 1 hash by _rolling_hashes_batch contract)
+            vm = np.array([hashes[a:b].min()], dtype=np.uint64)
+        out.append(np.unique(vm))
+    return out
+
+
+def winnow_fingerprints_udf(k: int = 8, window: int = 4):
+    """text -> sorted distinct winnowing fingerprints (array<long>).
+    k-gram rolling hashes come from the same _rolling_hashes_batch kernel
+    as minhash/simhash (crc-free byte polynomial, deterministic across
+    executors)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        B = len(texts)
+        if B == 0:
+            return pd.Series([], dtype=object)
+        datas = [t.encode("utf-8") for t in texts.fillna("")]
+        lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=B)
+        buf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+        grams, counts = _rolling_hashes_batch(
+            buf, lens, k=k, prime=_FNV_PRIME, init=_FNV_OFFSET
+        )
+        fps = _window_min_batch(grams, counts, window)
+        return pd.Series([f.astype(np.int64) for f in fps])
+
+    return _fp
+
+
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs sharing >= min_shared winnowing
+    fingerprints, scored by fingerprint-set Jaccard. Plan shape: map
+    (fingerprint UDF) -> explode -> self-equi-join on fingerprint (spread
+    key) -> pair aggregation. Same no-cross-join scale story as LSH."""
+    fp = winnow_fingerprints_udf(k=k, window=window)
+    base = df.select(
+        F.col(id_col).alias("id"), fp(F.col(text_col)).alias("fps")
+    ).withColumn("n_fps", F.size("fps").cast("long"))
+    ex = base.select("id", "n_fps", F.explode("fps").alias("fp"))
+    l = ex.select(F.col("fp"), F.col("id").alias("id_a"), F.col("n_fps").alias("n_a"))
+    r = ex.select(F.col("fp"), F.col("id").alias("id_b"), F.col("n_fps").alias("n_b"))
+    pairs = (
+        l.join(r, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    score = F.round(
+        F.col("n_shared")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        6,
+    )
+    return pairs.select("id_a", "id_b", "n_shared", score.alias("fp_jaccard"))

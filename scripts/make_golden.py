@@ -175,6 +175,44 @@ def g_simhash_candidates(docs: pd.DataFrame, max_hamming: int = 3) -> pd.DataFra
     )
 
 
+def g_winnow_pairs(
+    docs: pd.DataFrame, min_shared: int = 2, k: int = 20, window: int = 12
+) -> pd.DataFrame:
+    """Twin of winnow_pairs (same kernels, pandas join logic)."""
+    from collections import Counter, defaultdict
+
+    texts = docs["text"].fillna("").tolist()
+    datas = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(x) for x in datas), dtype=np.int64, count=len(datas))
+    buf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+    grams, counts = dedup._rolling_hashes_batch(
+        buf, lens, k=k, prime=dedup._FNV_PRIME, init=dedup._FNV_OFFSET
+    )
+    fps = dedup._window_min_batch(grams, counts, window)
+    ids = docs["doc_id"].to_numpy()
+    n_fps = {int(ids[i]): len(f) for i, f in enumerate(fps)}
+    docs_by_fp = defaultdict(list)
+    for i, f in enumerate(fps):
+        for v in f.tolist():
+            docs_by_fp[v].append(int(ids[i]))
+    shared: Counter = Counter()
+    for _, ds in docs_by_fp.items():
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                shared[(ds[x], ds[y])] += 1
+    out = []
+    for (ia, ib), n in sorted(shared.items()):
+        if n >= min_shared:
+            score = round_half_up(n / (n_fps[ia] + n_fps[ib] - n), 6)
+            out.append((ia, ib, n, score))
+    return pd.DataFrame(
+        out, columns=["id_a", "id_b", "n_shared", "fp_jaccard"]
+    ).astype(
+        {"id_a": np.int64, "id_b": np.int64, "n_shared": np.int64, "fp_jaccard": np.float64}
+    )
+
+
 def g_srp_ann_topk(emb: pd.DataFrame, dim: int = 64, k: int = 5) -> pd.DataFrame:
     mat32 = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
     planes = _planes(dim)
@@ -326,6 +364,7 @@ def main() -> None:
         "rank_languages": g_rank_languages(docs),
         "minhash_pairs": g_minhash_pairs(docs),
         "simhash_candidates": g_simhash_candidates(docs),
+        "winnow_pairs": g_winnow_pairs(docs),
         "srp_ann_topk": g_srp_ann_topk(emb),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
         "media_features": g_media_features(),

@@ -139,3 +139,48 @@ def test_batch_matches_single_doc():
     for i, t in enumerate(texts):
         single = dedup._shingle_hashes(t, k=5)
         assert batch[offs[i] : offs[i + 1]].tolist() == single.tolist(), t
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + window - 1 must share at least one fingerprint (and thus
+    appear as a winnow_pairs candidate at min_shared=1)."""
+    k, w = 8, 4
+    shared = "a very long shared passage that exceeds the guarantee window length easily"
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "totally different head " + shared + " other tail"),
+        (2, "nothing in common with the others at all zzz qqq"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.winnow_pairs(docs, min_shared=1, k=k, window=w).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_winnow_fingerprints_deterministic_and_match_kernel(spark):
+    """UDF output == direct kernel computation (batch boundaries and the
+    Arrow round-trip change nothing)."""
+    import numpy as np
+
+    texts = ["hello world document", "", "ab", "hello world document"]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": texts})
+    )
+    udf = dedup.winnow_fingerprints_udf(k=8, window=4)
+    got = {
+        r["doc_id"]: list(r["f"])
+        for r in docs.select("doc_id", udf("text").alias("f")).collect()
+    }
+    datas = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=4)
+    buf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+    grams, counts = dedup._rolling_hashes_batch(
+        buf, lens, k=8, prime=dedup._FNV_PRIME, init=dedup._FNV_OFFSET
+    )
+    want = dedup._window_min_batch(grams, counts, 4)
+    for i in range(4):
+        assert got[i] == want[i].astype(np.int64).tolist()
+    assert got[0] == got[3]  # identical docs → identical fingerprints
