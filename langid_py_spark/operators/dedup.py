@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, each with its scale story:
+Five families, each with its scale story:
 
 * exact_dedup       — hash-groupBy on md5(text). One shuffle on a
                       uniformly distributed 128-bit key; at 100 TB the
@@ -131,6 +131,24 @@ def jaccard_pairs_oracle_sql(
     """
 
 
+def _drop_hot_buckets(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Stop-fingerprint guard for banded LSH / fingerprint joins: a bucket
+    shared by more than `max_bucket` docs is boilerplate (quadratic pair
+    blowup, near-zero information — the web-dedup 'stop shingle' rule);
+    drop those keys before the self-join. The hot-key list is tiny by
+    construction, so the anti-join broadcasts. Exact duplicates are not
+    lost: the exact_dedup pass runs before near-dup at scale."""
+    if max_bucket is None:
+        return df
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
 # ------------------------------------------------------------- minhash
 N_HASHES = 64
 N_BANDS = 16  # 4 rows/band → s-curve threshold ~ (1/16)^(1/4) ≈ 0.5
@@ -258,6 +276,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     shingle_k: int = 5,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature similarity.
 
@@ -286,6 +305,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bhash")
+    bands = _drop_hot_buckets(bands, ["band", "bhash"], max_bucket)
     left = bands.select(
         F.col("band"), F.col("bhash"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
@@ -360,7 +380,11 @@ def simhash_batch(texts: list[str], ngram: int, a: np.ndarray, b: np.ndarray) ->
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band on 4×16-bit chunks (any pair with
     Hamming distance ≤ 3 over 64 bits must agree on ≥1 chunk), verify by
@@ -382,6 +406,7 @@ def simhash_candidates(
             )
         ).alias("cc"),
     ).select("id", "sh", "cc.chunk", "cc.cval")
+    chunks = _drop_hot_buckets(chunks, ["chunk", "cval"], max_bucket)
     l = chunks.select("chunk", "cval", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     r = chunks.select("chunk", "cval", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -459,6 +484,7 @@ def winnow_pairs(
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Near-dup candidate pairs sharing >= min_shared winnowing
     fingerprints, scored by fingerprint-set Jaccard. Plan shape: map
@@ -469,6 +495,7 @@ def winnow_pairs(
         F.col(id_col).alias("id"), fp(F.col(text_col)).alias("fps")
     ).withColumn("n_fps", F.size("fps").cast("long"))
     ex = base.select("id", "n_fps", F.explode("fps").alias("fp"))
+    ex = _drop_hot_buckets(ex, ["fp"], max_bucket)
     l = ex.select(F.col("fp"), F.col("id").alias("id_a"), F.col("n_fps").alias("n_a"))
     r = ex.select(F.col("fp"), F.col("id").alias("id_b"), F.col("n_fps").alias("n_b"))
     pairs = (

@@ -184,3 +184,21 @@ def test_winnow_fingerprints_deterministic_and_match_kernel(spark):
     for i in range(4):
         assert got[i] == want[i].astype(np.int64).tolist()
     assert got[0] == got[3]  # identical docs → identical fingerprints
+
+
+def test_hot_bucket_guard(spark):
+    """A fingerprint shared by everyone (boilerplate) must be dropped by
+    the stop-fingerprint guard — the remaining genuine pairs survive."""
+    boiler = " COMMON BOILERPLATE FOOTER TEXT REPEATED EVERYWHERE ALWAYS"
+    rows = [(i, f"unique document body number {i} " * 3 + boiler) for i in range(10)]
+    rows += [(100, "twin passage alpha beta gamma delta epsilon zeta eta theta" + boiler),
+             (101, "twin passage alpha beta gamma delta epsilon zeta eta theta" + boiler)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    # max_bucket=4: the boilerplate fingerprints (shared by all 12) drop,
+    # the twins' unique-passage fingerprints (shared by 2) remain
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.winnow_pairs(docs, min_shared=1, k=8, window=4, max_bucket=4).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(p == (100, 101) for p in pairs), pairs
