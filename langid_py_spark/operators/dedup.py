@@ -268,6 +268,23 @@ def minhash_signature_udf(n_hashes: int = N_HASHES, shingle_k: int = 5):
     return _sig
 
 
+def _sig_matches_udf():
+    """(sig_a, sig_b) -> positional match count, one vstack compare per
+    Arrow batch (the JVM-side alternative, zip_with+filter, is a
+    HigherOrderFunction → CodegenFallback — the measured perf trap in
+    CLAUDE.md)."""
+
+    @pandas_udf(T.LongType())
+    def _matches(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.int64)
+        ma = np.vstack([np.asarray(x, dtype=np.int64) for x in a])
+        mb = np.vstack([np.asarray(x, dtype=np.int64) for x in b])
+        return pd.Series((ma == mb).sum(axis=1).astype(np.int64))
+
+    return _matches
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -277,20 +294,33 @@ def minhash_lsh_pairs(
     n_bands: int = N_BANDS,
     shingle_k: int = 5,
     max_bucket: int | None = 500,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature similarity.
 
-    Plan shape: map (signatures) → explode to (band, band_hash) →
-    self-equi-join on (band, band_hash) → distinct pairs → verify.
-    The join key spreads uniformly (hash values), so no skew; at 100 TB
-    the band join is a plain shuffle join AQE can size.
+    Plan shape: map (signatures, persisted once) → explode to SLIM
+    (id, band, band_hash) rows → self-equi-join on (band, band_hash) →
+    distinct id pairs → join the two signatures back BY ID → verify.
+
+    Shuffle-volume note (the 100 TB consideration): carrying the
+    n_hashes-long signature through the band explode would shuffle
+    2 x n_bands copies of every signature; the slim join shuffles only
+    (id, band, bhash) rows and re-joins each signature twice by id —
+    ~30x less band-shuffle volume at 64 hashes / 16 bands. The join key
+    spreads uniformly (hash values) and hot boilerplate buckets are
+    dropped (`max_bucket`), so no skew; AQE sizes the joins.
+    `persist_sigs` materializes the signature UDF once instead of once
+    per plan branch (at 10^12 docs use a checkpoint table instead).
     """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature_udf(n_hashes, shingle_k=shingle_k)
     with_sig = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+    if persist_sigs:
+        from pyspark import StorageLevel
+
+        with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
     bands = with_sig.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -304,28 +334,27 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bhash")
+    ).select("id", "bb.band", "bb.bhash")
     bands = _drop_hot_buckets(bands, ["band", "bhash"], max_bucket)
-    left = bands.select(
-        F.col("band"), F.col("bhash"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
-    )
-    right = bands.select(
-        F.col("band"), F.col("bhash"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
-    )
-    cand = (
+    left = bands.select("band", "bhash", F.col("id").alias("id_a"))
+    right = bands.select("band", "bhash", F.col("id").alias("id_b"))
+    pairs = (
         left.join(right, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(float(N_HASHES if n_hashes is None else n_hashes))
+    sa = with_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = with_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = pairs.join(sa, "id_a").join(sb, "id_b")
+    matches = _sig_matches_udf()
+    est = F.round(
+        matches(F.col("sig_a"), F.col("sig_b"))
+        / F.lit(float(N_HASHES if n_hashes is None else n_hashes)),
+        6,
+    )
     return (
-        cand.withColumn("est_jaccard", F.round(sim, 6))
+        cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
