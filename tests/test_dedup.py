@@ -202,3 +202,50 @@ def test_hot_bucket_guard(spark):
     }
     assert (100, 101) in pairs
     assert all(p == (100, 101) for p in pairs), pairs
+
+
+def test_rolling_hashes_property():
+    """Property: the batched rolling-hash kernel equals a naive per-doc
+    Python reference on arbitrary token sequences (random lengths incl.
+    0, <k, ==k, >k mixed in one batch)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 4
+    P, INIT = dedup._FNV_PRIME, dedup._FNV_OFFSET
+
+    def naive(tokens):
+        if not tokens:
+            return [int(INIT)]
+        with np.errstate(over="ignore"):
+            if len(tokens) < K:
+                h = INIT
+                for t in tokens:
+                    h = h * P + np.uint64(t)
+                return [int(h)]
+            out = []
+            for i in range(len(tokens) - K + 1):
+                h = INIT
+                for t in tokens[i : i + K]:
+                    h = h * P + np.uint64(t)
+                out.append(int(h))
+            return out
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=2**32 - 1), max_size=12),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(docs):
+        lens = np.array([len(d) for d in docs], dtype=np.int64)
+        flat = np.array([t for d in docs for t in d], dtype=np.uint64)
+        got, counts = dedup._rolling_hashes_batch(flat, lens, k=K, prime=P, init=INIT)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        for i, d in enumerate(docs):
+            assert got[offs[i] : offs[i + 1]].tolist() == naive(d), d
+
+    check()
