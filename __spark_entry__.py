@@ -403,7 +403,9 @@ def q_byte_ngram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         explode_byte_ngrams,
     )
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    # orderBy before limit: a bare limit takes whatever 200 rows arrive
+    # first, which depends on scan partitioning — not a stable contract
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
     tokens = explode_byte_ngrams(docs, extra_cols=("lang",), max_order=2)
     return df_feature_select(tokens, candidates_per_order=50)
 

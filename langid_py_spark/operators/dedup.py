@@ -311,6 +311,11 @@ def minhash_lsh_pairs(
     dropped (`max_bucket`), so no skew; AQE sizes the joins.
     `persist_sigs` materializes the signature UDF once instead of once
     per plan branch (at 10^12 docs use a checkpoint table instead).
+    The cache entry is keyed by the analyzed plan, so repeated calls on
+    the same input reuse one entry rather than accumulating; it is never
+    explicitly unpersisted (lives until LRU eviction or session end) —
+    pass persist_sigs=False to trade recomputation for zero cache
+    footprint.
     """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature_udf(n_hashes, shingle_k=shingle_k)
@@ -368,8 +373,6 @@ def simhash_udf(ngram: int = 3):
     masked to full in-doc windows, per-(doc,bit) votes via add.reduceat.
     Sub-n-gram docs hash with zlib.crc32 (deterministic across executors;
     builtin hash() is salted per process by PYTHONHASHSEED)."""
-    import zlib
-
     a, b = _hash_params(64, seed=777)
 
     @pandas_udf(T.LongType())

@@ -167,8 +167,13 @@ def topk_words_oracle_sql(table: str = "documents", group_col: str = "lang", k: 
 # Cheap Catalyst-only language guess (charset fractions + ASCII stopword
 # hits) — the n-gram-heuristic pre-filter tier of a 100 TB pipeline: at
 # scale you run THIS first (pure codegen, no UDF) and reserve the full
-# NB model for the survivors. Patterns stay inside the Java-regex ∩ RE2
-# ∩ Python-re common dialect (CLAUDE.md invariant); char counting uses
+# NB model for the survivors. Dialect note: these patterns target the
+# Java-regex (Spark) ∩ RE2 (DuckDB) pair — both treat \b as an ASCII
+# word boundary, so the two driver engines agree byte-for-byte. \b is
+# deliberately OUTSIDE the stricter three-engine dialect used by
+# rules/scrub (Python re's \b is Unicode-aware: 'laïcité' would split
+# differently there); this operator has no Python-re oracle, so the
+# stricter invariant does not apply. Char counting uses
 # length(x) - length(regexp_replace(x, class, '')) instead of
 # regexp_extract_all so no per-char array is materialized.
 _CJK_CLASS = "[一-鿿぀-ヿ가-힯]"

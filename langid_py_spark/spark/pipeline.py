@@ -143,13 +143,15 @@ def run_pipeline(
     Sink selection (north_rule: Iceberg tables at production scale):
     * sink_format="parquet" (default) / "orc" / any path-based source —
       DataFrameWriter.format(sink_format).save(out_path).
-    * sink_format="iceberg" — DataFrameWriterV2: writeTo(sink_table)
-      .using("iceberg").overwritePartitions(), the catalog-managed path
-      (requires the iceberg-spark-runtime jar + a configured catalog,
-      which this sandbox doesn't ship; the branch is unit-tested up to
-      the analysis error the missing catalog raises). `sink_options`
-      passes through to the writer either way (e.g. compression, or
-      iceberg table properties).
+    * sink_format="iceberg" — DataFrameWriterV2: first run bootstraps the
+      lang_bucket-partitioned table (writeTo(...).using("iceberg")
+      .partitionedBy(lang_bucket).create()); subsequent runs, including
+      resumes, overwritePartitions() — dynamic overwrite of exactly the
+      buckets present in this run. Requires the iceberg-spark-runtime
+      jar + a configured catalog, which this sandbox doesn't ship; the
+      branch is unit-tested up to the analysis error the missing catalog
+      raises. `sink_options` passes through to the writer either way
+      (compression, or iceberg table properties).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     manifest = read_manifest(out_path) if resume else {"completed_buckets": [], "metrics": {}}
@@ -170,6 +172,30 @@ def run_pipeline(
     scored = score_turns(turns, model_path=model_path, langs=langs).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    try:
+        return _run_pipeline_writes(
+            spark, scored, in_path, out_path, manifest, done, todo,
+            sink_format, sink_options, sink_table,
+        )
+    finally:
+        # release the cache entry even on the raising paths (missing
+        # sink_table, absent iceberg catalog) — a long-lived driver must
+        # not accumulate dead cached plans across retries
+        scored.unpersist()
+
+
+def _run_pipeline_writes(
+    spark: SparkSession,
+    scored: DataFrame,
+    in_path: str,
+    out_path: str,
+    manifest: dict,
+    done: set,
+    todo: list,
+    sink_format: str,
+    sink_options: dict | None,
+    sink_table: str | None,
+) -> dict:
     conv = conversation_vote(scored).select("conv_id", "conv_lang")
     result = (
         scored.join(conv, "conv_id", "left")
@@ -217,9 +243,13 @@ def run_pipeline(
         w2 = to_write.writeTo(sink_table).using("iceberg")
         for k, v in (sink_options or {}).items():
             w2 = w2.tableProperty(k, str(v))
-        # dynamic overwrite of exactly the lang_buckets present in `result`
-        # — same resume semantics as the path sink
-        w2.overwritePartitions()
+        if not spark.catalog.tableExists(sink_table):
+            # bootstrap: first run creates the partitioned table; every
+            # later run (incl. resume) dynamic-overwrites exactly the
+            # lang_buckets present in `result`
+            w2.partitionedBy(F.col("lang_bucket")).create()
+        else:
+            w2.overwritePartitions()
     else:
         (
             to_write.write.mode("overwrite")
@@ -268,7 +298,6 @@ def run_pipeline(
         k: int(observed[k] or 0) for k in ("n_turns", "n_kept")
     }
     _write_manifest(out_path, manifest)
-    scored.unpersist()
     return manifest
 
 

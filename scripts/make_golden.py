@@ -109,10 +109,14 @@ def _minhash_sigs(texts: pd.Series) -> np.ndarray:
     return sig
 
 
-def _band_pairs(ids: np.ndarray, band_keys: list[np.ndarray]) -> set[tuple[int, int]]:
+def _band_pairs(
+    ids: np.ndarray, band_keys: list[np.ndarray], max_bucket: int | None = None
+) -> set[tuple[int, int]]:
     """Distinct (id_a < id_b) pairs sharing >= 1 band value. Spark hashes
     the band slice with xxhash64; equality of the slice == equality of the
-    hash up to negligible 64-bit collisions."""
+    hash up to negligible 64-bit collisions. `max_bucket` mirrors the
+    operators' stop-fingerprint guard (_drop_hot_buckets): buckets larger
+    than the cap contribute no pairs."""
     pairs: set[tuple[int, int]] = set()
     for keys in band_keys:
         # group doc indices by band key (1-D structured view or tuple)
@@ -132,7 +136,7 @@ def _band_pairs(ids: np.ndarray, band_keys: list[np.ndarray]) -> set[tuple[int, 
             bounds = np.flatnonzero(srt[1:] != srt[:-1]) + 1
             groups = np.split(idx, bounds)
         for g in groups:
-            if len(g) > 1:
+            if len(g) > 1 and (max_bucket is None or len(g) <= max_bucket):
                 for x, y in combinations(sorted(map(int, g)), 2):
                     pairs.add((x, y))
     return pairs
@@ -148,7 +152,7 @@ def g_minhash_pairs(docs: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
     ]
     id_to_row = {int(i): r for r, i in enumerate(ids)}
     out = []
-    for ia, ib in sorted(_band_pairs(ids, band_keys)):
+    for ia, ib in sorted(_band_pairs(ids, band_keys, max_bucket=500)):
         est = (sig[id_to_row[ia]] == sig[id_to_row[ib]]).sum() / float(dedup.N_HASHES)
         est = round_half_up(est, 6)
         if est >= threshold:
@@ -166,7 +170,7 @@ def g_simhash_candidates(docs: pd.DataFrame, max_hamming: int = 3) -> pd.DataFra
     band_keys = [((shu >> np.uint64(16 * c)) & np.uint64(0xFFFF)) for c in range(4)]
     id_to_row = {int(i): r for r, i in enumerate(ids)}
     out = []
-    for ia, ib in sorted(_band_pairs(ids, band_keys)):
+    for ia, ib in sorted(_band_pairs(ids, band_keys, max_bucket=500)):
         ham = int(bin(int(shu[id_to_row[ia]] ^ shu[id_to_row[ib]])).count("1"))
         if ham <= max_hamming:
             out.append((ia, ib, ham))
@@ -176,9 +180,14 @@ def g_simhash_candidates(docs: pd.DataFrame, max_hamming: int = 3) -> pd.DataFra
 
 
 def g_winnow_pairs(
-    docs: pd.DataFrame, min_shared: int = 2, k: int = 20, window: int = 12
+    docs: pd.DataFrame,
+    min_shared: int = 2,
+    k: int = 20,
+    window: int = 12,
+    max_bucket: int = 200,
 ) -> pd.DataFrame:
-    """Twin of winnow_pairs (same kernels, pandas join logic)."""
+    """Twin of winnow_pairs (same kernels, pandas join logic, incl. the
+    stop-fingerprint max_bucket guard)."""
     from collections import Counter, defaultdict
 
     texts = docs["text"].fillna("").tolist()
@@ -197,6 +206,8 @@ def g_winnow_pairs(
             docs_by_fp[v].append(int(ids[i]))
     shared: Counter = Counter()
     for _, ds in docs_by_fp.items():
+        if len(ds) > max_bucket:  # mirrors _drop_hot_buckets
+            continue
         ds = sorted(ds)
         for x in range(len(ds)):
             for y in range(x + 1, len(ds)):
@@ -329,7 +340,8 @@ def g_byte_ngram_df_topk(
     """Twin of explode_byte_ngrams(limit 200) → df_feature_select(50)."""
     from collections import Counter
 
-    sub = docs.head(n_docs)
+    # orderBy(doc_id).limit mirrors the query's deterministic subset
+    sub = docs.sort_values("doc_id").head(n_docs)
     df_tally: Counter = Counter()
     for t in sub["text"].fillna(""):
         data = t.encode("utf-8")
