@@ -83,7 +83,7 @@ def jaccard_pairs_exact(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_docs: int = 2000,
+    max_docs: int | None = 2000,
 ) -> DataFrame:
     """All id pairs (a < b) with word-set Jaccard >= threshold.
 
@@ -91,9 +91,25 @@ def jaccard_pairs_exact(
     minhash_lsh_pairs, for tiny SF only; the production path is the
     banded LSH join below. `max_docs` is a hard cap (lowest ids kept)
     so the cartesian can never be reached at scale: 2000 docs ≈ 2M pairs
-    worst case, bounded regardless of input size.
+    worst case, bounded regardless of input size. Truncation is NOT
+    silent: when the input exceeds the cap a warning is raised (the
+    check is one column-pruned count over the id column); pass
+    max_docs=None to restore full cross-join semantics explicitly.
     """
-    capped = df.orderBy(F.asc(id_col)).limit(max_docs)
+    if max_docs is None:
+        capped = df
+    else:
+        n_in = df.select(id_col).count()
+        if n_in > max_docs:
+            import warnings
+
+            warnings.warn(
+                f"jaccard_pairs_exact: input has {n_in} docs; pairs computed "
+                f"only over the lowest {max_docs} ids (oracle-twin cap). "
+                "Use minhash_lsh_pairs at scale or pass max_docs=None.",
+                stacklevel=2,
+            )
+        capped = df.orderBy(F.asc(id_col)).limit(max_docs)
     ws = word_sets(capped, text_col, id_col)
     a = ws.select(F.col(id_col).alias("id_a"), F.col("words").alias("wa"))
     b = ws.select(F.col(id_col).alias("id_b"), F.col("words").alias("wb"))
@@ -353,11 +369,7 @@ def minhash_lsh_pairs(
     sb = with_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     cand = pairs.join(sa, "id_a").join(sb, "id_b")
     matches = _sig_matches_udf()
-    est = F.round(
-        matches(F.col("sig_a"), F.col("sig_b"))
-        / F.lit(float(N_HASHES if n_hashes is None else n_hashes)),
-        6,
-    )
+    est = F.round(matches(F.col("sig_a"), F.col("sig_b")) / F.lit(float(n_hashes)), 6)
     return (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)

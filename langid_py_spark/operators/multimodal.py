@@ -33,6 +33,15 @@ FEATURE_SCHEMA = (
 )
 
 
+def synth_payload(i: int) -> tuple[str, int, bytes]:
+    """Deterministic per-id fake (mime, nbytes, payload) — the single
+    source of truth shared by synth_media AND scripts/make_golden.py, so
+    a constant change here cannot silently desync the golden oracle."""
+    rng = np.random.RandomState(9000 + int(i))
+    nb = int(rng.randint(128, 2048))
+    return ["image/png", "image/jpeg", "audio/wav"][int(i) % 3], nb, rng.bytes(nb)
+
+
 def synth_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic fake media table (seeded per media_id)."""
 
@@ -41,16 +50,8 @@ def synth_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
             ids = b["id"].to_numpy()
             rows = []
             for i in ids:
-                rng = np.random.RandomState(9000 + int(i))
-                nb = int(rng.randint(128, 2048))
-                rows.append(
-                    (
-                        int(i),
-                        ["image/png", "image/jpeg", "audio/wav"][int(i) % 3],
-                        nb,
-                        rng.bytes(nb),
-                    )
-                )
+                mime, nb, payload = synth_payload(int(i))
+                rows.append((int(i), mime, nb, payload))
             yield pd.DataFrame(rows, columns=["media_id", "mime", "nbytes", "payload"])
 
     return spark.range(0, n, 1, numPartitions=partitions).mapInPandas(

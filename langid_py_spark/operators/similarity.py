@@ -2,10 +2,12 @@
 
 Three paths:
 
-* brute-force cosine top-k — the correctness baseline. JVM-side only:
-  dot product via `F.zip_with` + `F.aggregate`, ranking via a window.
-  O(Q x N); used directly when the query side is small enough to
-  broadcast (it is, by construction: queries are a tiny dim table).
+* brute-force cosine top-k — the correctness baseline. The query side is
+  a tiny dim table by construction: its vectors ride the scoring UDF's
+  closure (the pickled-closure analogue of an explicit broadcast), so the
+  big side is scanned ONCE and each Arrow batch does a single
+  (batch x dim) @ (dim x n_queries) matmul. No cross join, no per-row
+  Python, no interpreted higher-order functions.
 * LSH-bucketed (random hyperplane / signed random projection) — a scale
   path: each vector maps to a B-bit signature; candidates share a
   signature band, so the join is an equi-join on a spread key instead of
@@ -18,6 +20,13 @@ Three paths:
   query probes its `n_probe` nearest centroids: candidates come from an
   equi-join on cluster_id (bounded-cardinality key; AQE handles the
   residual skew of unbalanced clusters), then exact cosine re-rank.
+
+Float parity: every exact re-rank computes the SAME formula
+``dot(a,b) / max(norm(a)*norm(b), 1e-12)`` through `cos_pairwise` /
+`cos_matrix` below; scripts/make_golden.py imports the same kernels, so
+golden oracles agree bit-for-bit with the UDF path (no summation-order
+drift between BLAS variants — ADVICE r02). Rounding to 6dp stays on the
+Spark side (F.round), matching the DuckDB oracles' round().
 
 Embeddings fixture: /root/testdata/sf*/embeddings.parquet
 (vec_id bigint, embedding array<float>, label int).
@@ -32,21 +41,74 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+# ------------------------------------------------------- shared kernels
+def cos_pairwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two (n, d) float64 matrices.
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    einsum('ij,ij->i') computes each row independently with a fixed
+    within-row summation order, so results do not depend on Arrow batch
+    boundaries — the golden generator calls this same function.
+    """
+    dots = np.einsum("ij,ij->i", a, b)
+    na = np.sqrt(np.einsum("ij,ij->i", a, a))
+    nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+    return dots / np.maximum(na * nb, 1e-12)
+
+
+def cos_matrix(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n, d) x (m, d) -> (n, m) cosine matrix (one GEMM per Arrow batch)."""
+    dots = mat @ q.T
+    nm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    nq = np.sqrt(np.einsum("ij,ij->i", q, q))
+    return dots / np.maximum(np.outer(nm, nq), 1e-12)
+
+
+def _to_mat(vecs: pd.Series) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def cos_pairwise_udf():
+    """Exact cosine re-rank UDF: (vec_a, vec_b) -> double, one vectorized
+    einsum per Arrow batch — replaces the round-1 zip_with/aggregate HOF
+    expression, which fell back to interpreted eval and dragged the whole
+    Project out of codegen (measured CodegenFallback trap, CLAUDE.md)."""
+
+    @pandas_udf(T.DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        return pd.Series(cos_pairwise(_to_mat(a), _to_mat(b)))
+
+    return _cos
+
+
+MAX_DRIVER_QUERIES = 100_000  # safety cap for driver-side query collection
+
+
+def _collect_queries(
+    queries: DataFrame, qid_col: str, qvec_col: str, max_queries: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pull the query dim table to the driver (qid-sorted, deterministic).
+
+    Bounded by `max_queries` — queries are a tiny dim table by
+    construction (an ANN index serves FEW probes against MANY vectors);
+    a larger set should be run as a join-based batch scoring job instead,
+    so exceeding the cap raises rather than silently OOMing the driver.
+    """
+    pdf = (
+        queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .toPandas()
     )
-
-
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    if len(pdf) > max_queries:
+        raise ValueError(
+            f"query side exceeds max_queries={max_queries}; "
+            "run batch scoring via a join instead of the broadcast path"
         )
-    )
+    pdf = pdf.sort_values("qid").reset_index(drop=True)
+    qids = pdf["qid"].to_numpy(dtype=np.int64)
+    qmat = _to_mat(pdf["qv"])
+    return qids, qmat
 
 
 def cosine_topk_bruteforce(
@@ -57,31 +119,37 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    max_queries: int = MAX_DRIVER_QUERIES,
 ) -> DataFrame:
     """Top-k most-cosine-similar vectors per query (excluding self-id).
 
-    The query side is broadcast (small dim table) → the 'cross' is a
-    BroadcastNestedLoopJoin over one pass of the big side: shuffle-free
-    until the final per-query top-k window, whose key (qid) has
-    cardinality |Q| — repartition-by-qid keeps it parallel.
+    The query matrix rides the UDF closure → ONE pass over the big side,
+    one (batch x dim) @ (dim x n_queries) GEMM per Arrow batch. Only
+    (vid, qid, cos_sim) rows reach the per-query top-k window, whose key
+    (qid) has cardinality |Q|.
     """
-    v = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    q = queries.select(
-        F.col(qid_col).alias("qid"),
-        F.col(qvec_col).cast("array<double>").alias("qv"),
-    )
-    sim = F.round(
-        _dot(F.col("v"), F.col("qv"))
-        / F.greatest(_norm(F.col("v")) * _norm(F.col("qv")), F.lit(1e-12)),
-        6,
-    )
+    qids, qmat = _collect_queries(queries, qid_col, qvec_col, max_queries)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _sims(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(list(cos_matrix(_to_mat(vecs), qmat)))
+
+    qid_arr = F.array(*[F.lit(int(q)) for q in qids])
     scored = (
-        v.crossJoin(F.broadcast(q))
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(_sims(F.col(vec_col).cast("array<double>"))).alias(
+                "pos", "cs"
+            ),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("pos") + 1).cast("long").alias("qid"),
+            "vid",
+            F.round(F.col("cs"), 6).alias("cos_sim"),
+        )
         .filter(F.col("vid") != F.col("qid"))
-        .withColumn("cos_sim", sim)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
     return (
@@ -140,7 +208,7 @@ def srp_signature_udf(dim: int, n_planes: int = N_PLANES):
 
     @pandas_udf(T.LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
-        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = _to_mat(vecs)
         bits = (mat @ planes) > 0  # (B, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series(bits @ weights)
@@ -159,13 +227,18 @@ def srp_bucketed_topk(
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """ANN: candidates = vectors whose SRP signature matches the query's
-    in ≥1 of two 8-bit bands; exact cosine re-rank on candidates only.
-    Equi-join on (band, band_bits) — linear shuffle, no cross join."""
+    in ≥1 band; exact cosine re-rank on candidates only.
+
+    Plan shape (the 100 TB consideration): the banded equi-join and the
+    candidate dedup carry ONLY (qid, vid) — the slim-join pattern; the
+    deduped candidate set (small: |Q| x bucket sizes) is then broadcast
+    back against the vectors scan to re-fetch embeddings, and the exact
+    re-rank is one vectorized einsum per Arrow batch (cos_pairwise_udf),
+    never an interpreted HOF expression. No cross join anywhere.
+    """
     sig = srp_signature_udf(dim)
-    v = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        sig(F.col(vec_col)).alias("sig"),
+    v_sig = vectors.select(
+        F.col(id_col).alias("vid"), sig(F.col(vec_col)).alias("sig")
     )
     q = queries.select(
         F.col(qid_col).alias("qid"),
@@ -173,10 +246,10 @@ def srp_bucketed_topk(
         sig(F.col(qvec_col)).alias("qsig"),
     )
 
-    def bandize(df, sig_col, out):
+    def bandize(df, sig_col, keep_cols):
         mask = (1 << BAND_BITS) - 1
         return df.select(
-            "*",
+            *keep_cols,
             F.explode(
                 F.array(
                     *[
@@ -184,29 +257,35 @@ def srp_bucketed_topk(
                             F.lit(b).alias("band"),
                             F.shiftright(F.col(sig_col), BAND_BITS * b)
                             .bitwiseAND(F.lit(mask))
-                            .alias(out),
+                            .alias("bbits"),
                         )
                         for b in range(N_BANDS)
                     ]
                 )
             ).alias("bb"),
-        ).select("*", "bb.band", f"bb.{out}").drop("bb")
+        ).select(*keep_cols, "bb.band", "bb.bbits")
 
-    vb = bandize(v, "sig", "bbits")
-    qb = bandize(q, "qsig", "bbits")
+    vb = bandize(v_sig, "sig", ["vid"])
+    qb = bandize(q.select("qid", "qsig"), "qsig", ["qid"])
     cand = (
         vb.join(F.broadcast(qb), ["band", "bbits"])
         .filter(F.col("vid") != F.col("qid"))
+        .select("qid", "vid")
         .dropDuplicates(["qid", "vid"])
     )
-    sim = F.round(
-        _dot(F.col("v"), F.col("qv"))
-        / F.greatest(_norm(F.col("v")) * _norm(F.col("qv")), F.lit(1e-12)),
-        6,
+    # re-fetch embeddings for the (small) candidate set: broadcast the ids
+    # against one pass of the vectors scan, queries re-attach by qid
+    vv = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    cand_v = vv.join(F.broadcast(cand), "vid")
+    pairs = cand_v.join(F.broadcast(q.select("qid", "qv")), "qid")
+    cos = cos_pairwise_udf()
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
     return (
-        cand.withColumn("cos_sim", sim)
+        pairs.select(
+            "qid", "vid", F.round(cos(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+        )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", F.col("vid").alias("vec_id"), "cos_sim", "rk")
@@ -256,7 +335,7 @@ def fit_ivf_centroids(
         .select(vec_col)
         .toPandas()
     )
-    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mat = _to_mat(pdf[vec_col])
     return spherical_kmeans(mat, n_centroids, seed=seed)
 
 
@@ -268,9 +347,7 @@ def ivf_assign_udf(centroids: np.ndarray):
 
     @pandas_udf(T.LongType())
     def _assign(vecs: pd.Series) -> pd.Series:
-        mat = _l2_normalize(
-            np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        )
+        mat = _l2_normalize(_to_mat(vecs))
         return pd.Series(np.argmax(mat @ c.T, axis=1).astype(np.int64))
 
     return _assign
@@ -283,9 +360,7 @@ def ivf_probe_udf(centroids: np.ndarray, n_probe: int):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _probe(vecs: pd.Series) -> pd.Series:
-        mat = _l2_normalize(
-            np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        )
+        mat = _l2_normalize(_to_mat(vecs))
         sims = mat @ c.T  # (B, K)
         # stable argsort on -sims == (dot desc, centroid id asc) tie-break
         order = np.argsort(-sims, axis=1, kind="stable")
@@ -304,13 +379,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF ANN: candidates = vectors in the query's n_probe nearest
-    clusters; exact cosine re-rank. Every vector lives in EXACTLY one
-    cluster and a query's probe list is distinct, so (qid, vid) candidates
-    are already unique — no dropDuplicates shuffle. Plan: two maps
-    (assign/probe UDFs) -> explode (n_probe rows/query) -> equi-join on
-    cluster_id -> window top-k per qid."""
+    clusters; exact cosine re-rank (vectorized einsum UDF). Every vector
+    lives in EXACTLY one cluster and a query's probe list is distinct, so
+    (qid, vid) candidates are already unique — no dropDuplicates shuffle.
+    Plan: two maps (assign/probe UDFs) -> explode (n_probe rows/query) ->
+    equi-join on cluster_id -> window top-k per qid.
+
+    `broadcast_queries=True` assumes the query side is a tiny dim table
+    (the ANN contract — few probes against many vectors); the exploded
+    query side is n_queries x n_probe rows WITH full vectors, so a large
+    query set must pass broadcast_queries=False and let AQE pick the
+    join strategy instead of forcing a driver-side broadcast build.
+    """
     assign = ivf_assign_udf(centroids)
     probe = ivf_probe_udf(centroids, n_probe)
     v = vectors.select(
@@ -323,16 +406,16 @@ def ivf_topk(
         F.col(qvec_col).cast("array<double>").alias("qv"),
         F.explode(probe(F.col(qvec_col))).alias("cluster_id"),
     )
-    sim = F.round(
-        _dot(F.col("v"), F.col("qv"))
-        / F.greatest(_norm(F.col("v")) * _norm(F.col("qv")), F.lit(1e-12)),
-        6,
-    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    cos = cos_pairwise_udf()
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vid"))
     return (
-        v.join(F.broadcast(q), "cluster_id")
+        v.join(q, "cluster_id")
         .filter(F.col("vid") != F.col("qid"))
-        .withColumn("cos_sim", sim)
+        .select(
+            "qid", "vid", F.round(cos(F.col("v"), F.col("qv")), 6).alias("cos_sim")
+        )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("qid", F.col("vid").alias("vec_id"), "cos_sim", "rk")

@@ -176,18 +176,44 @@ def topk_words_oracle_sql(table: str = "documents", group_col: str = "lang", k: 
 # stricter invariant does not apply. Char counting uses
 # length(x) - length(regexp_replace(x, class, '')) instead of
 # regexp_extract_all so no per-char array is materialized.
-_CJK_CLASS = "[一-鿿぀-ヿ가-힯]"
+# Script-class tiers, checked in order: (guess, char class, threshold).
+# Kana first at a LOW threshold — Japanese text mixes han + kana, so any
+# real kana share is decisive before the han tier claims it for zh.
+_SCRIPT_TIERS = [
+    ("ja", "[぀-ヿ]", 0.05),  # hiragana + katakana U+3040-30FF
+    ("ko", "[가-힯]", 0.30),  # hangul syllables   U+AC00-D7AF
+    ("zh", "[一-鿿]", 0.30),  # CJK unified han    U+4E00-9FFF
+    ("he", "[֐-׿]", 0.30),  # hebrew             U+0590-05FF
+    ("ar", "[؀-ۿ]", 0.30),  # arabic             U+0600-06FF
+    ("hi", "[ऀ-ॿ]", 0.30),  # devanagari         U+0900-097F
+]
+# Cyrillic splits ru/uk on uk-specific letters (і ї є ґ — absent in ru)
 _CYR_CLASS = "[Ѐ-ӿ]"
-_AR_CLASS = "[؀-ۿ]"
+_UK_CLASS = "[іїєґІЇЄҐ]"
+# Latin-script languages: ASCII stopword sets, dict order = tie-break
+# priority (earlier language wins equal counts). Covers every latin-
+# script language of the fallback model (core/model.py, 18 classes).
 _STOPWORDS = {
     "en": "(the|and|of|to|is)",
     "de": "(der|die|und|ist|das)",
     "fr": "(le|la|les|et|est)",
     "es": "(el|los|las|es|y)",
+    "it": "(il|che|di|per|non)",
+    "pt": "(uma|para|mais|como|dos)",
+    "nl": "(het|een|van|niet|zijn)",
+    "pl": "(nie|jest|czy|tylko|bardzo)",
+    "sv": "(och|att|det|som|inte)",
+    "tr": "(bir|ve|bu|olarak|ama)",
 }
+_LATIN_LANGS = list(_STOPWORDS)
 
 
 def lang_heuristic(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic tier covering all 18 fallback-model languages: script
+    tiers (ja/ko/zh/he/ar/hi, ru-vs-uk cyrillic split) then a stopword
+    argmax over the 10 latin-script languages. The decision chain is
+    generated from ONE spec (_SCRIPT_TIERS/_STOPWORDS) that the DuckDB
+    oracle builder below consumes too — the two engines cannot drift."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     n = F.greatest(F.length(t), F.lit(1)).cast("double")
 
@@ -201,24 +227,24 @@ def lang_heuristic(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         ).cast("long")
         for lang, words in _STOPWORDS.items()
     }
-    c_en, c_de, c_fr, c_es = sw["en"], sw["de"], sw["fr"], sw["es"]
-    guess = (
-        F.when(class_frac(_CJK_CLASS) > 0.3, "cjk")
-        .when(class_frac(_CYR_CLASS) > 0.3, "ru")
-        .when(class_frac(_AR_CLASS) > 0.3, "ar")
-        .when((c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0), "en")
-        .when((c_de >= c_fr) & (c_de >= c_es) & (c_de > 0), "de")
-        .when((c_fr >= c_es) & (c_fr > 0), "fr")
-        .when(c_es > 0, "es")
-        .otherwise("und")
+    guess = None
+    for lang, cls, thr in _SCRIPT_TIERS:
+        cond = class_frac(cls) > thr
+        guess = F.when(cond, lang) if guess is None else guess.when(cond, lang)
+    guess = guess.when(
+        class_frac(_CYR_CLASS) > 0.3,
+        F.when(class_frac(_UK_CLASS) > 0, "uk").otherwise("ru"),
     )
+    for i, lang in enumerate(_LATIN_LANGS):
+        cond = sw[lang] > 0
+        for other in _LATIN_LANGS[i + 1 :]:
+            cond = cond & (sw[lang] >= sw[other])
+        guess = guess.when(cond, lang)
+    guess = guess.otherwise("und")
     return df.select(
         F.col(id_col),
         guess.alias("lang_guess"),
-        c_en.alias("sw_en"),
-        c_de.alias("sw_de"),
-        c_fr.alias("sw_fr"),
-        c_es.alias("sw_es"),
+        *[sw[lang].alias(f"sw_{lang}") for lang in _LATIN_LANGS],
     )
 
 
@@ -235,21 +261,24 @@ def lang_heuristic_oracle_sql(table: str = "documents", id_col: str = "doc_id") 
         )
         for lang, words in _STOPWORDS.items()
     }
+    whens = [
+        f"WHEN {frac(cls)} > {thr} THEN '{lang}'"
+        for lang, cls, thr in _SCRIPT_TIERS
+    ]
+    whens.append(
+        f"WHEN {frac(_CYR_CLASS)} > 0.3 THEN "
+        f"(CASE WHEN {frac(_UK_CLASS)} > 0 THEN 'uk' ELSE 'ru' END)"
+    )
+    for i, lang in enumerate(_LATIN_LANGS):
+        conds = [f"{sw[lang]} > 0"] + [
+            f"{sw[lang]} >= {sw[other]}" for other in _LATIN_LANGS[i + 1 :]
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE\n             " + "\n             ".join(whens) + "\n             ELSE 'und' END"
+    sw_cols = ",\n           ".join(f"{sw[lang]} AS sw_{lang}" for lang in _LATIN_LANGS)
     return f"""
     SELECT {id_col},
-           CASE
-             WHEN {frac(_CJK_CLASS)} > 0.3 THEN 'cjk'
-             WHEN {frac(_CYR_CLASS)} > 0.3 THEN 'ru'
-             WHEN {frac(_AR_CLASS)} > 0.3 THEN 'ar'
-             WHEN {sw['en']} >= {sw['de']} AND {sw['en']} >= {sw['fr']}
-                  AND {sw['en']} >= {sw['es']} AND {sw['en']} > 0 THEN 'en'
-             WHEN {sw['de']} >= {sw['fr']} AND {sw['de']} >= {sw['es']}
-                  AND {sw['de']} > 0 THEN 'de'
-             WHEN {sw['fr']} >= {sw['es']} AND {sw['fr']} > 0 THEN 'fr'
-             WHEN {sw['es']} > 0 THEN 'es'
-             ELSE 'und'
-           END AS lang_guess,
-           {sw['en']} AS sw_en, {sw['de']} AS sw_de,
-           {sw['fr']} AS sw_fr, {sw['es']} AS sw_es
+           {case} AS lang_guess,
+           {sw_cols}
     FROM {table}
     """

@@ -121,10 +121,18 @@ def rank_udf(
     model_path: str = DEFAULT_MODEL_PATH,
     langs: list[str] | None = None,
     max_bytes: int | None = 4096,
+    top_k: int | None = None,
 ):
-    """W3 (reference ``rank`` ~L270): full per-doc language ranking as
+    """W3 (reference ``rank`` ~L270): per-doc language ranking as
     array<struct<lang,prob>>, sorted desc. Debug/analysis path — the hot
-    path returns only the argmax (classify_udf)."""
+    path returns only the argmax (classify_udf).
+
+    `top_k` bounds the emitted array: scores and the sort stay fully
+    vectorized in numpy; only the top-k (lang, prob) structs per row are
+    materialized for Arrow. At 97 langs x 10^12 turns the full-ranking
+    default would build |classes|-length Python lists per row — callers
+    that read a prefix (like the registered rank_languages query) must
+    pass top_k. None keeps the reference's full-rank semantics."""
     langs_t = tuple(langs) if langs else None
     schema = T.ArrayType(
         T.StructType(
@@ -144,13 +152,19 @@ def rank_udf(
         pd_scores = model.nb_classprobs(fv)
         probs = model.norm_probs(pd_scores)
         order = np.argsort(-probs, axis=1)
-        classes = model.nb_classes
+        if top_k is not None:
+            order = order[:, :top_k]
+        # vectorized gathers; the only per-row Python is assembling the
+        # k (<= |classes|) output structs Arrow requires as objects
+        cls = np.array(model.nb_classes, dtype=object)
+        langs_mat = cls[order]
+        probs_mat = np.take_along_axis(probs, order, axis=1)
         out = [
             [
-                {"lang": classes[j], "prob": float(probs[i, j])}
-                for j in order[i]
+                {"lang": langs_mat[i, j], "prob": float(probs_mat[i, j])}
+                for j in range(order.shape[1])
             ]
-            for i in range(len(order))
+            for i in range(order.shape[0])
         ]
         return pd.Series(out)
 

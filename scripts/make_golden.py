@@ -42,7 +42,11 @@ from langid_py_spark.core.lm import TrigramLM  # noqa: E402
 from langid_py_spark.core.model import NBModel  # noqa: E402
 from langid_py_spark.operators import dedup  # noqa: E402
 from langid_py_spark.operators.similarity import N_BANDS as SRP_BANDS  # noqa: E402
-from langid_py_spark.operators.similarity import BAND_BITS, _planes  # noqa: E402
+from langid_py_spark.operators.similarity import (  # noqa: E402
+    BAND_BITS,
+    _planes,
+    cos_pairwise,
+)
 
 
 def round_half_up(x: float, nd: int) -> float:
@@ -244,19 +248,14 @@ def g_srp_ann_topk(emb: pd.DataFrame, dim: int = 64, k: int = 5) -> pd.DataFrame
         cand[ids == qid] = False
         qv = mat32[qrow]
         rows = np.flatnonzero(cand)
-        cos = np.array(
-            [
-                round_half_up(
-                    float(
-                        mat32[r] @ qv
-                        / max(
-                            np.sqrt(mat32[r] @ mat32[r]) * np.sqrt(qv @ qv), 1e-12
-                        )
-                    ),
-                    6,
-                )
-                for r in rows
-            ]
+        # SAME kernel as cos_pairwise_udf (row-independent einsum) — golden
+        # and Spark agree bit-for-bit before the 6dp HALF_UP round
+        cos = rhu(
+            cos_pairwise(
+                np.ascontiguousarray(mat32[rows]),
+                np.repeat(qv[None, :], len(rows), axis=0),
+            ),
+            6,
         )
         vid = ids[rows]
         order = np.lexsort((vid, -cos))[:k]
@@ -289,17 +288,12 @@ def g_ivf_ann_topk(
         cand[ids == qid] = False
         rows = np.flatnonzero(cand)
         qv = mat[qrow]
-        cos = np.array(
-            [
-                round_half_up(
-                    float(
-                        mat[r] @ qv
-                        / max(np.sqrt(mat[r] @ mat[r]) * np.sqrt(qv @ qv), 1e-12)
-                    ),
-                    6,
-                )
-                for r in rows
-            ]
+        cos = rhu(
+            cos_pairwise(
+                np.ascontiguousarray(mat[rows]),
+                np.repeat(qv[None, :], len(rows), axis=0),
+            ),
+            6,
         )
         vid = ids[rows]
         order = np.lexsort((vid, -cos))[:k]
@@ -311,15 +305,15 @@ def g_ivf_ann_topk(
 
 
 def g_media_features(n: int = 64) -> pd.DataFrame:
-    """Twin of multimodal.synth_media + _decode_stub (both deterministic)."""
+    """Twin of multimodal.synth_media + _decode_stub — calls the SAME
+    functions (no inlined constants, so a multimodal.py change cannot
+    silently desync this golden; ADVICE r02)."""
+    from langid_py_spark.operators.multimodal import _decode_stub, synth_payload
+
     rows = []
     for i in range(n):
-        rng = np.random.RandomState(9000 + i)
-        nb = int(rng.randint(128, 2048))
-        payload = rng.bytes(nb)
-        mime = ["image/png", "image/jpeg", "audio/wav"][i % 3]
-        w = 16 + payload[0] % 240
-        h = 16 + payload[1 % len(payload)] % 240
+        mime, nb, payload = synth_payload(i)
+        w, h, _feat = _decode_stub(payload, mime)
         rows.append((i, mime, nb, w, h, 8))
     return pd.DataFrame(
         rows, columns=["media_id", "mime", "nbytes", "width", "height", "feat_dim"]

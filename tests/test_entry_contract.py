@@ -72,11 +72,10 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
             assert mism == 0, f"{name}.{c}: {mism} value mismatches"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.columns  # stable schema
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """The rows-only class is empty by design since r02: every registered
+    query carries a value-hash oracle (SQL or golden parquet)."""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):

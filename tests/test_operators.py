@@ -204,17 +204,47 @@ def test_lang_heuristic_branches(spark):
     branches need explicit coverage)."""
     from langid_py_spark.operators.textstats import lang_heuristic
 
-    rows = [
-        (0, "the cat and the dog of the house is here"),
-        (1, "der hund und die katze ist das haus"),
-        (2, "le chat et la maison est les arbres"),
-        (3, "el perro y los gatos es las casas"),
-        (4, "这是一个中文句子需要被正确识别出来"),
-        (5, "Это русское предложение для проверки"),
-        (6, "هذه جملة عربية للاختبار هنا"),
-        (7, "zzz qqq xxx"),
-        (8, None),
+    # one trigger doc per language of the 18-class fallback model
+    cases = [
+        ("en", "the cat and the dog of the house is here"),
+        ("de", "der hund und die katze ist das haus"),
+        ("fr", "le chat et la maison est les arbres"),
+        ("es", "el perro y los gatos es las casas"),
+        ("it", "il gatto che di per non mangia"),
+        ("pt", "uma para mais como dos outros"),
+        ("nl", "het een van niet zijn huis"),
+        ("pl", "nie jest czy tylko bardzo dobrze"),
+        ("sv", "och att det som inte huset"),
+        ("tr", "bir ve bu olarak ama evet"),
+        ("zh", "这是一个中文句子需要被正确识别出来"),
+        ("ja", "これは日本語のテストです"),
+        ("ko", "이것은 한국어 테스트 문장입니다"),
+        ("ru", "Это русское предложение для проверки"),
+        ("uk", "Це українське речення для перевірки"),
+        ("ar", "هذه جملة عربية للاختبار هنا"),
+        ("he", "זהו משפט בעברית לבדיקה"),
+        ("hi", "यह एक हिंदी वाक्य है"),
+        ("und", "zzz qqq xxx"),
+        ("und", None),
     ]
+    rows = [(i, text) for i, (_, text) in enumerate(cases)]
     docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     got = {r["doc_id"]: r["lang_guess"] for r in lang_heuristic(docs).collect()}
-    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "cjk", 5: "ru", 6: "ar", 7: "und", 8: "und"}
+    want = {i: lang for i, (lang, _) in enumerate(cases)}
+    assert got == want
+
+    # Java-regex / RE2 dialect parity on the SAME multilingual docs (the
+    # sf fixture is English-only, so the driver oracle never exercises
+    # the non-latin branches — this does)
+    import duckdb
+
+    from langid_py_spark.operators.textstats import lang_heuristic_oracle_sql
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = {
+        int(r[0]): r[1]
+        for r in con.execute(lang_heuristic_oracle_sql("documents")).fetchall()
+    }
+    assert duck == want
