@@ -361,6 +361,22 @@ def q_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_bucketed_topk(emb, queries_df, dim=64, k=5)
 
 
+def q_srp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at SCALE: SRP-banded self-equi-join (ids
+    only through the shuffle, hot-bucket guard) + exact einsum re-rank —
+    the production path whose bounded brute twin is embedding_dup_pairs.
+    Same 0.45 threshold as the twin (fixture embeddings are
+    near-orthogonal), hence the COARSE 32/4-bit banding — at such a low
+    threshold fine bands would recall nothing; production runs at 0.9+
+    use the operator's 64/8-bit default (see srp_dup_pairs docstring).
+    The golden twin models this exact banding; expected recall vs the
+    brute twin at cos 0.45 is the SRP s-curve ~0.79."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.srp_dup_pairs(
+        emb, dim=64, threshold=0.45, n_planes=32, band_bits=4
+    )
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the second scale path beside SRP-LSH): spherical-k-means
     coarse quantizer trained on a bounded deterministic sample, candidates
@@ -465,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "winnow_pairs": q_winnow_pairs,
         "srp_ann_topk": q_srp_ann_topk,
+        "srp_dup_pairs": q_srp_dup_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
         "media_features": q_media_features,
         "byte_ngram_df_topk": q_byte_ngram_df_topk,
@@ -642,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": _golden_sql("simhash_candidates"),
         "winnow_pairs": _golden_sql("winnow_pairs"),
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
+        "srp_dup_pairs": _golden_sql("srp_dup_pairs"),
         "ivf_ann_topk": _golden_sql("ivf_ann_topk"),
         "media_features": _golden_sql("media_features"),
         "byte_ngram_df_topk": _golden_sql("byte_ngram_df_topk"),

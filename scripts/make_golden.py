@@ -266,6 +266,42 @@ def g_srp_ann_topk(emb: pd.DataFrame, dim: int = 64, k: int = 5) -> pd.DataFrame
     )
 
 
+def g_srp_dup_pairs(
+    emb: pd.DataFrame, dim: int = 64, threshold: float = 0.45, max_bucket: int = 500
+) -> pd.DataFrame:
+    """Twin of srp_dup_pairs: same planes/banding (incl. hot-bucket guard),
+    same cos_pairwise kernel on the candidate pairs."""
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    planes = _planes(dim)
+    bits = (mat @ planes) > 0
+    weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
+    sig = (bits @ weights).astype(np.uint64)
+    ids = emb["vec_id"].to_numpy()
+    mask = np.uint64((1 << BAND_BITS) - 1)
+    band_keys = [
+        ((sig >> np.uint64(BAND_BITS * b)) & mask) for b in range(SRP_BANDS)
+    ]
+    id_to_row = {int(i): r for r, i in enumerate(ids)}
+    cand = sorted(_band_pairs(ids, band_keys, max_bucket=max_bucket))
+    if not cand:
+        return pd.DataFrame(columns=["id_a", "id_b", "cos_sim"]).astype(
+            {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+        )
+    ra = np.array([id_to_row[a] for a, _ in cand])
+    rb = np.array([id_to_row[b] for _, b in cand])
+    cos = rhu(
+        cos_pairwise(np.ascontiguousarray(mat[ra]), np.ascontiguousarray(mat[rb])), 6
+    )
+    keep = cos >= threshold
+    return pd.DataFrame(
+        {
+            "id_a": np.array([a for a, _ in cand], dtype=np.int64)[keep],
+            "id_b": np.array([b for _, b in cand], dtype=np.int64)[keep],
+            "cos_sim": cos[keep],
+        }
+    )
+
+
 def g_ivf_ann_topk(
     emb: pd.DataFrame, n_centroids: int = 16, n_probe: int = 4, k: int = 5
 ) -> pd.DataFrame:
@@ -372,6 +408,7 @@ def main() -> None:
         "simhash_candidates": g_simhash_candidates(docs),
         "winnow_pairs": g_winnow_pairs(docs),
         "srp_ann_topk": g_srp_ann_topk(emb),
+        "srp_dup_pairs": g_srp_dup_pairs(emb),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
         "media_features": g_media_features(),
         "byte_ngram_df_topk": g_byte_ngram_df_topk(docs),

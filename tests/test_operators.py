@@ -31,6 +31,38 @@ def test_srp_ann_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"ANN recall@5 {recall}"  # 8x4-bit SRP bands
 
 
+def test_srp_dup_pairs_subset_of_brute_with_recall(spark):
+    """srp_dup_pairs must (a) only emit pairs the brute-force cross join
+    also emits at the same threshold, with identical 6dp cos values, and
+    (b) recover a reasonable share of them (SRP s-curve ~0.79 at cos
+    0.45 → assert >= 0.5 to stay flake-free)."""
+    from langid_py_spark.operators.similarity import cos_pairwise, srp_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in srp_dup_pairs(
+            emb, dim=64, threshold=0.45, n_planes=32, band_bits=4
+        ).collect()
+    }
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.vstack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    ids = pdf["vec_id"].to_numpy()
+    ia, ib = np.triu_indices(len(ids), k=1)
+    cos = np.round(cos_pairwise(np.ascontiguousarray(mat[ia]),
+                                np.ascontiguousarray(mat[ib])), 6)
+    brute = {
+        (int(ids[a]), int(ids[b])): float(c)
+        for a, b, c in zip(ia, ib, cos)
+        if c >= 0.45
+    }
+    assert set(got) <= set(brute), set(got) - set(brute)
+    for pair, cs in got.items():
+        assert abs(cs - brute[pair]) <= 1e-6, (pair, cs, brute[pair])
+    if brute:
+        assert len(got) / len(brute) >= 0.5, (len(got), len(brute))
+
+
 def test_bruteforce_topk_matches_numpy(spark):
     from langid_py_spark.operators.similarity import cosine_topk_bruteforce
 
@@ -196,6 +228,35 @@ def test_ivf_recall_on_clustered_data(spark):
         map(tuple, ivf_topk(emb, q, cents, k=5, n_probe=8).collect())
     )
     assert ivf_all == sorted(map(tuple, cosine_topk_bruteforce(emb, q, k=5).collect()))
+
+
+def test_srp_dup_pairs_production_banding_on_near_dups(spark):
+    """Default 64-plane/8-bit banding at a real near-dup threshold: on a
+    corpus with planted near-duplicates (cos ~0.97) it must find >= 80%
+    of the true pairs while examining a candidate set orders of magnitude
+    smaller than n^2 (the whole point of fine bands for a self-join)."""
+    from langid_py_spark.operators.similarity import cos_pairwise, srp_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(200, 32)
+    # plant a near-dup for every 4th vector: tiny perturbation
+    dups = base[::4] + rng.randn(50, 32) * 0.05
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(250, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    emb = spark.createDataFrame(pdf)
+    got = {
+        (r.id_a, r.id_b)
+        for r in srp_dup_pairs(emb, dim=32, threshold=0.9).collect()
+    }
+    mat = vecs.astype(np.float64)
+    ia, ib = np.triu_indices(250, k=1)
+    cos = cos_pairwise(np.ascontiguousarray(mat[ia]), np.ascontiguousarray(mat[ib]))
+    true = {(int(a), int(b)) for a, b, c in zip(ia, ib, cos) if c >= 0.9}
+    assert len(true) >= 40  # the planted dups are the signal
+    assert got <= true
+    assert len(got & true) / len(true) >= 0.8, (len(got), len(true))
 
 
 def test_lang_heuristic_branches(spark):

@@ -108,6 +108,39 @@ def test_rules_scrub_stage_whole_stage_codegen(spark, fixture_path):
     assert "EvalPython" not in plan
 
 
+def test_cosine_bruteforce_plan_is_single_pass_no_join(spark):
+    """The brute-force ANN baseline carries the query matrix in the UDF
+    closure: the plan must contain NO join of any kind (the round-1 shape
+    was a BroadcastNestedLoopJoin cross join) and no interpreted HOF
+    (zip_with/aggregate) — one scan, one Arrow GEMM stage, one window."""
+    from langid_py_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = _plan(cosine_topk_bruteforce(emb, q, k=3))
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "zip_with" not in plan and "aggregate(" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_srp_plan_broadcast_joins_only(spark):
+    """SRP candidates: banded broadcast equi-joins + ids-only dedup; the
+    re-rank is an Arrow UDF, never a HOF; no cartesian anywhere."""
+    from langid_py_spark.operators.similarity import srp_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plan = _plan(srp_bucketed_topk(emb, q, dim=64, k=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "zip_with" not in plan, plan
+
+
 def test_ivf_join_is_broadcast_equi_join(spark):
     """IVF candidates come from an equi-join on cluster_id with the tiny
     probe side broadcast — never a cartesian/nested-loop."""
