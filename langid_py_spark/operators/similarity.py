@@ -55,9 +55,27 @@ def cos_pairwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return dots / np.maximum(na * nb, 1e-12)
 
 
+def rowwise_gemm(a: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """a (n, d) @ w (d, k) with BATCH-SIZE-INDEPENDENT per-row results.
+
+    BLAS dgemm picks blocking/kernels by n, which shifts last-ulp bits
+    when the same rows are computed in different batch sizes (property-
+    tested: tests/test_operators.py::test_cos_kernels_batch_independent
+    falsified `a @ w` directly). One einsum('ij,j->i') per output column
+    computes every row with a fixed j-order regardless of n — so Arrow
+    batch boundaries cannot change a value, and the full-matrix golden
+    twins agree with the batched UDFs bit-for-bit. k is small at every
+    call site (queries, <=64 planes, <=centroids); measured same speed
+    as dgemm at (4096 x 64) x (64 x 64)."""
+    out = np.empty((a.shape[0], w.shape[1]))
+    for k in range(w.shape[1]):
+        out[:, k] = np.einsum("ij,j->i", a, np.ascontiguousarray(w[:, k]))
+    return out
+
+
 def cos_matrix(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """(n, d) x (m, d) -> (n, m) cosine matrix (one GEMM per Arrow batch)."""
-    dots = mat @ q.T
+    """(n, d) x (m, d) -> (n, m) cosine matrix, batch-independent."""
+    dots = rowwise_gemm(mat, q.T)
     nm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
     nq = np.sqrt(np.einsum("ij,ij->i", q, q))
     return dots / np.maximum(np.outer(nm, nq), 1e-12)
@@ -213,7 +231,9 @@ def srp_signature_udf(dim: int, n_planes: int = N_PLANES):
     @pandas_udf(T.LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
         mat = _to_mat(vecs)
-        bits = (mat @ planes) > 0  # (B, n_planes)
+        # rowwise_gemm: a projection within 1 ulp of 0 must not flip its
+        # sign bit with the Arrow batch size (goldens compute full-matrix)
+        bits = rowwise_gemm(mat, planes) > 0  # (B, n_planes)
         weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
         return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
 
@@ -444,7 +464,7 @@ def ivf_assign_udf(centroids: np.ndarray):
     @pandas_udf(T.LongType())
     def _assign(vecs: pd.Series) -> pd.Series:
         mat = _l2_normalize(_to_mat(vecs))
-        return pd.Series(np.argmax(mat @ c.T, axis=1).astype(np.int64))
+        return pd.Series(np.argmax(rowwise_gemm(mat, c.T), axis=1).astype(np.int64))
 
     return _assign
 
@@ -457,7 +477,7 @@ def ivf_probe_udf(centroids: np.ndarray, n_probe: int):
     @pandas_udf(T.ArrayType(T.LongType()))
     def _probe(vecs: pd.Series) -> pd.Series:
         mat = _l2_normalize(_to_mat(vecs))
-        sims = mat @ c.T  # (B, K)
+        sims = rowwise_gemm(mat, c.T)  # (B, K)
         # stable argsort on -sims == (dot desc, centroid id asc) tie-break
         order = np.argsort(-sims, axis=1, kind="stable")
         return pd.Series(list(order[:, :n_probe].astype(np.int64)))

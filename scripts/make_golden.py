@@ -46,6 +46,7 @@ from langid_py_spark.operators.similarity import (  # noqa: E402
     BAND_BITS,
     _planes,
     cos_pairwise,
+    rowwise_gemm,
 )
 
 
@@ -231,7 +232,7 @@ def g_winnow_pairs(
 def g_srp_ann_topk(emb: pd.DataFrame, dim: int = 64, k: int = 5) -> pd.DataFrame:
     mat32 = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
     planes = _planes(dim)
-    bits = (mat32 @ planes) > 0
+    bits = rowwise_gemm(mat32, planes) > 0  # same kernel as the sig UDF
     weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
     sig = (bits @ weights).astype(np.uint64)
     ids = emb["vec_id"].to_numpy()
@@ -273,7 +274,7 @@ def g_srp_dup_pairs(
     same cos_pairwise kernel on the candidate pairs."""
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
     planes = _planes(dim)
-    bits = (mat @ planes) > 0
+    bits = rowwise_gemm(mat, planes) > 0  # same kernel as the sig UDF
     weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
     sig = (bits @ weights).astype(np.uint64)
     ids = emb["vec_id"].to_numpy()
@@ -313,12 +314,13 @@ def g_ivf_ann_topk(
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in e["embedding"]])
     c = spherical_kmeans(mat[:2000], n_centroids)
     norm = _l2_normalize(mat)
-    assign = np.argmax(norm @ c.T, axis=1)
+    # same rowwise kernel as ivf_assign_udf / ivf_probe_udf
+    assign = np.argmax(rowwise_gemm(norm, c.T), axis=1)
     ids = e["vec_id"].to_numpy()
     out = []
     for qrow in np.flatnonzero(ids < 5):
         qid = int(ids[qrow])
-        sims_c = norm[qrow] @ c.T
+        sims_c = rowwise_gemm(norm[qrow : qrow + 1], c.T)[0]
         probes = np.argsort(-sims_c, kind="stable")[:n_probe]
         cand = np.isin(assign, probes)
         cand[ids == qid] = False

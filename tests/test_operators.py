@@ -309,3 +309,43 @@ def test_lang_heuristic_branches(spark):
         for r in con.execute(lang_heuristic_oracle_sql("documents")).fetchall()
     }
     assert duck == want
+
+
+def test_cos_kernels_batch_independent():
+    """The golden-parity argument rests on this: cos_pairwise/cos_matrix
+    compute each row independently, so Arrow batch boundaries cannot
+    change a value. Assert BITWISE equality between full-batch and
+    per-row/split computation on adversarial float inputs (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from langid_py_spark.operators.similarity import cos_matrix, cos_pairwise
+
+    floats = st.floats(
+        min_value=-1e3, max_value=1e3, allow_nan=False, allow_subnormal=False
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        arrays(np.float64, (7, 16), elements=floats),
+        arrays(np.float64, (7, 16), elements=floats),
+    )
+    def check(a, b):
+        full = cos_pairwise(a, b)
+        for i in range(len(a)):
+            row = cos_pairwise(
+                np.ascontiguousarray(a[i : i + 1]), np.ascontiguousarray(b[i : i + 1])
+            )[0]
+            assert row == full[i] or (np.isnan(row) and np.isnan(full[i]))
+        # cos_matrix: split the big side anywhere, same bits
+        q = np.ascontiguousarray(b[:3])
+        whole = cos_matrix(a, q)
+        for cut in (1, 3, 6):
+            parts = np.vstack(
+                [cos_matrix(np.ascontiguousarray(a[:cut]), q),
+                 cos_matrix(np.ascontiguousarray(a[cut:]), q)]
+            )
+            assert np.array_equal(parts, whole, equal_nan=True)
+
+    check()
