@@ -225,3 +225,55 @@ def test_metrics_ride_the_write_job(spark, fixture_path, tmp_path):
     man = read_manifest(out)
     assert {int(k) for k in man["metrics"]} == set(got.index)
     assert man["observed"]["n_turns"] == len(outdf)
+
+
+def test_entry_output_full_twin(result, golden, spark, fixture_path):
+    """EVERY column of the flagship output vs a single-process twin —
+    completes the per-column oracles (keep/scrub/lang/conf_norm above)
+    with the ones previously only spot-checked: per-rule booleans,
+    conf_raw, ppl, nbytes, and the conversation vote VALUES end-to-end
+    (test_vote pins the operator in isolation; this pins it through the
+    pipeline), plus lang_bucket well-formedness."""
+    src = (
+        spark.read.parquet(fixture_path)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    texts = src["text"].fillna("").tolist()
+    model = NBModel.load()
+    lm = TrigramLM.load()
+    langs, raw, norm, nbytes = model.classify_batch(texts, max_bytes=C.SCORE_MAX_BYTES)
+    ppl = lm.perplexity_batch(texts, max_bytes=C.SCORE_MAX_BYTES)
+
+    # per-rule booleans (python oracle is the frozen-config twin)
+    rules = [python_rule_oracle(t) for t in texts]
+    for rname in C.RULE_NAMES:
+        want = np.array([r[rname] for r in rules])
+        got = result[rname].values
+        assert (got == want).all(), rname
+
+    np.testing.assert_allclose(result["conf_raw"].values, raw, rtol=1e-12)
+    np.testing.assert_allclose(result["ppl"].values, ppl, rtol=1e-12)
+    assert (result["nbytes"].values == nbytes).all()
+    assert (
+        result["r_low_conf"].values == (norm < C.MIN_LANG_CONF)
+    ).all()
+    assert (result["r_high_ppl"].values == (ppl > C.MAX_PERPLEXITY)).all()
+
+    # conversation vote twin: per conv, nbytes-weighted lang sums (exact
+    # integer arithmetic), argmax with (weight desc, lang asc) tie-break
+    tw = pd.DataFrame(
+        {"conv_id": src["conv_id"].values, "lang": langs, "w": nbytes}
+    )
+    sums = tw.groupby(["conv_id", "lang"], as_index=False)["w"].sum()
+    sums = sums.sort_values(
+        ["conv_id", "w", "lang"], ascending=[True, False, True]
+    )
+    want_vote = sums.groupby("conv_id").first()["lang"]
+    got_vote = result.groupby("conv_id")["conv_lang"].first()
+    assert (got_vote.sort_index() == want_vote.sort_index()).all()
+
+    # lang_bucket: pure function of lang, in range
+    assert result["lang_bucket"].between(0, C.LANG_BUCKETS - 1).all()
+    assert (result.groupby("lang")["lang_bucket"].nunique() == 1).all()
