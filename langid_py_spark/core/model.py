@@ -41,7 +41,7 @@ class NBModel:
     nb_pc: np.ndarray  # float64[nclasses] log prior
     nb_classes: list[str]
     features: list[bytes]
-    nextmove: np.ndarray  # uint32[nstates*256]
+    nextmove: np.ndarray  # int64[nstates*256] in memory (uint32 on the wire/npz — int64 avoids a per-walk-step astype in batch_fv)
     out_indptr: np.ndarray  # int64[nstates+1]
     out_feats: np.ndarray  # int32[nnz]
 
@@ -80,7 +80,7 @@ class NBModel:
             nb_pc=z["nb_pc"],
             nb_classes=[str(c) for c in z["nb_classes"]],
             features=[bytes.fromhex(h) for h in z["features"]],
-            nextmove=z["nextmove"].astype(np.uint32),
+            nextmove=z["nextmove"].astype(np.int64),
             out_indptr=z["out_indptr"].astype(np.int64),
             out_feats=z["out_feats"].astype(np.int64),
         )
@@ -99,7 +99,7 @@ class NBModel:
             nb_pc=nb_pc,
             nb_classes=classes,
             features=features,
-            nextmove=dfa.nextmove,
+            nextmove=dfa.nextmove.astype(np.int64),
             out_indptr=dfa.out_indptr,
             out_feats=dfa.out_feats.astype(np.int64),
         )
@@ -161,7 +161,7 @@ class NBModel:
             nb_pc=np.asarray(nb_pc, dtype=np.float64),
             nb_classes=list(classes),
             features=features,
-            nextmove=np.asarray(nextmove, dtype=np.uint32),
+            nextmove=np.asarray(nextmove, dtype=np.int64),
             out_indptr=indptr,
             out_feats=feats,
         )
@@ -210,13 +210,12 @@ class NBModel:
         ]
         B = len(docs)
         nfeats = self.nb_numfeats
-        fv = np.zeros((B, nfeats), dtype=np.float64)
         if B == 0:
-            return fv
+            return np.zeros((0, nfeats), dtype=np.float64)
         lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=B)
         maxlen = int(lens.max(initial=0))
         if maxlen == 0:
-            return fv
+            return np.zeros((B, nfeats), dtype=np.float64)
 
         # sort docs by length DESC: at walk step t the active set is the
         # contiguous prefix of docs with len > t — vectorized slices
@@ -238,7 +237,7 @@ class NBModel:
             k = int(np.searchsorted(neg, -t, side="right"))
             if k == 0:
                 break
-            st = nm[(states[:k] << 8) + mat[:k, t]].astype(np.int64)
+            st = nm[(states[:k] << 8) + mat[:k, t]]  # int64, no per-step cast
             states[:k] = st
             seq[:k, t] = st
 
@@ -252,7 +251,7 @@ class NBModel:
         cnt = np.bincount(pair, minlength=B * nstates)
         nz = np.flatnonzero(cnt)
         if nz.size == 0:
-            return fv
+            return np.zeros((B, nfeats), dtype=np.float64)
         c = cnt[nz].astype(np.float64)
         dd = nz // nstates
         ss = nz % nstates
@@ -262,15 +261,20 @@ class NBModel:
         run = (self.out_indptr[ss + 1] - start).astype(np.int64)
         keep = run > 0
         if not keep.any():
-            return fv
+            return np.zeros((B, nfeats), dtype=np.float64)
         start, run, dd, c = start[keep], run[keep], dd[keep], c[keep]
         total = int(run.sum())
         # offsets within each run: arange(total) - repeat(cumsum_exclusive)
         cum = np.concatenate(([0], np.cumsum(run)[:-1]))
         within = np.arange(total) - np.repeat(cum, run)
         feat_idx = self.out_feats[np.repeat(start, run) + within]
-        np.add.at(fv, (np.repeat(dd, run), feat_idx), np.repeat(c, run))
-        return fv
+        # one weighted bincount replaces zeros() + np.add.at (the ufunc.at
+        # inner loop was 17% of the warm kernel); counts are exact integers
+        # in float64, so summation order cannot change a single bit
+        flat = np.repeat(dd, run) * nfeats + feat_idx
+        return np.bincount(
+            flat, weights=np.repeat(c, run), minlength=B * nfeats
+        ).reshape(B, nfeats)
 
     # ------------------------------------------------------ scoring
     def nb_classprobs(self, fv: np.ndarray) -> np.ndarray:
