@@ -31,6 +31,18 @@ class TrigramLM:
     bi_logp: np.ndarray  # float64 log P(b1 | b0)
     uni_logp: np.ndarray  # float64[256] log P(b)
 
+    def __post_init__(self) -> None:
+        # Dense direct-address bigram table (2^16 floats, 512 KB): one
+        # fancy index replaces a searchsorted over the sorted keys. Built
+        # FROM (bi_keys, bi_logp) with -inf holes, so values are
+        # bit-identical to the sorted-lookup path (goldens unchanged).
+        # The trigram space (2^24) stays searchsorted — a dense table
+        # there would cost 128 MB per Python worker.
+        dense = np.full(1 << 16, -np.inf)
+        if len(self.bi_keys):
+            dense[self.bi_keys.astype(np.int64)] = self.bi_logp
+        self._bi_dense = dense
+
     def save(self, path: str) -> None:
         np.savez_compressed(
             path,
@@ -73,7 +85,7 @@ class TrigramLM:
         probs = LAMBDAS[2] * p_uni + LAMBDAS[3] / 256.0
         if n >= 2:
             bi = (b[:-1] << 8) | b[1:]
-            p_bi = np.exp(self._lookup(bi, self.bi_keys, self.bi_logp))
+            p_bi = np.exp(self._bi_dense[bi])
             probs[1:] += LAMBDAS[1] * p_bi
         if n >= 3:
             tri = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
@@ -111,9 +123,7 @@ class TrigramLM:
         prev1[1:] = buf[:-1]
         m_bi = pos >= 1
         bi_keys = (prev1[m_bi] << 8) | buf[m_bi]
-        probs[m_bi] += LAMBDAS[1] * np.exp(
-            self._lookup(bi_keys, self.bi_keys, self.bi_logp)
-        )
+        probs[m_bi] += LAMBDAS[1] * np.exp(self._bi_dense[bi_keys])
         prev2 = np.empty_like(buf)
         prev2[:2] = 0
         prev2[2:] = buf[:-2]
