@@ -98,7 +98,7 @@ _STATEFUL_VOTE_STATE = "langs array<string>, weights array<long>"
 
 
 def stateful_conversation_vote(
-    scored: DataFrame, ttl_minutes: int = 30
+    scored: DataFrame, ttl_minutes: float = 30
 ) -> DataFrame:
     """Cross-micro-batch conversation vote via applyInPandasWithState.
 
@@ -111,11 +111,20 @@ def stateful_conversation_vote(
     conversation's CURRENT winner; idle conversations are evicted after
     `ttl_minutes` of processing time (bounded state at 10^12-turn scale —
     the checkpoint holds only live conversations).
+
+    Trigger note (measured): with ProcessingTimeTimeout registered, a
+    Trigger.AvailableNow query does NOT terminate after draining input —
+    Spark keeps scheduling no-data micro-batches (~0.7 s each here,
+    230+ observed) to advance the timeout clock, indefinitely; both
+    processAllAvailable() and awaitTermination block on the same cycle
+    even after every group's TTL has expired. For drain-and-stop usage,
+    watch the sink for the expected data and stop() the query
+    explicitly; use a processing-time trigger for continuous serving.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ttl_ms = ttl_minutes * 60 * 1000
+    ttl_ms = max(1, int(ttl_minutes * 60 * 1000))
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:

@@ -143,16 +143,40 @@ def test_stateful_vote_across_microbatches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    q = (
-        stateful_conversation_vote(stream)
-        .writeStream.format("memory")
-        .queryName("sv")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # Pre-round-3 this test burned a flat 120 s: with ProcessingTimeTimeout
+    # registered, an availableNow query NEVER terminates — Spark cycles
+    # no-data batches (~0.7 s each) forever to advance the timeout clock
+    # (measured: 230+ batches; processAllAvailable() blocks on the same
+    # cycle, and even full TTL expiry does not end it). So don't wait for
+    # termination at all: poll the memory sink until both data batches
+    # have emitted (c1 must have updated twice), then stop() the query.
+    import time as _time
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    q = None
+    try:
+        q = (
+            stateful_conversation_vote(stream)
+            .writeStream.format("memory")
+            .queryName("sv")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            c1_updates = spark.table("sv").filter("conv_id = 'c1'").count()
+            if c1_updates >= 2:
+                break
+            _time.sleep(0.5)
+        else:
+            raise AssertionError("second micro-batch never reached the sink")
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     got = spark.table("sv").toPandas()
     # >1 update per conv proves the state actually spanned micro-batches
     assert got.groupby("conv_id").size().max() > 1

@@ -141,6 +141,32 @@ def test_srp_plan_broadcast_joins_only(spark):
     assert "zip_with" not in plan, plan
 
 
+def test_srp_dup_pairs_plan_no_cartesian(spark):
+    """The self-join near-dup path: banded equi-join + ids-only dedup +
+    broadcast re-fetch; never a cartesian/nested-loop, never a HOF."""
+    from langid_py_spark.operators.similarity import srp_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(srp_dup_pairs(emb, dim=64, threshold=0.45, n_planes=32, band_bits=4))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "zip_with" not in plan, plan
+
+
+def test_spread_rebalances_only_narrow_scans(spark):
+    """_spread: a single-split scan is repartitioned to defaultParallelism;
+    an input already at/above it is returned untouched (the 100 TB no-op)."""
+    import __spark_entry__ as entry_mod
+
+    narrow = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = spark.sparkContext.defaultParallelism
+    assert narrow.rdd.getNumPartitions() < p
+    spread = entry_mod._spread(spark, narrow)
+    assert spread.rdd.getNumPartitions() == p
+    wide = narrow.repartition(p * 2)
+    assert entry_mod._spread(spark, wide) is wide
+
+
 def test_ivf_join_is_broadcast_equi_join(spark):
     """IVF candidates come from an equi-join on cluster_id with the tiny
     probe side broadcast — never a cartesian/nested-loop."""
