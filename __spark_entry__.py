@@ -391,6 +391,18 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries_df, centroids, k=5, n_probe=4)
 
 
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek 2020): per LANGUAGE, cut the
+    LM-perplexity distribution at its terciles — the standard corpus-
+    level quality tier beside the per-row rules. Exact percentiles here
+    (oracle-checkable); percentile_approx is the 100 TB path (same plan
+    shape — see operators/quality.py)."""
+    from langid_py_spark.operators.quality import ccnet_ppl_buckets
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return ccnet_ppl_buckets(docs)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from langid_py_spark.operators.multimodal import decode_features, synth_media
 
@@ -483,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann_topk,
         "srp_dup_pairs": q_srp_dup_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "media_features": q_media_features,
         "byte_ngram_df_topk": q_byte_ngram_df_topk,
         "rank_languages": q_rank_languages,
@@ -661,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
         "srp_dup_pairs": _golden_sql("srp_dup_pairs"),
         "ivf_ann_topk": _golden_sql("ivf_ann_topk"),
+        "ccnet_ppl_buckets": _golden_sql("ccnet_ppl_buckets"),
         "media_features": _golden_sql("media_features"),
         "byte_ngram_df_topk": _golden_sql("byte_ngram_df_topk"),
     }

@@ -342,6 +342,32 @@ def g_ivf_ann_topk(
     )
 
 
+def g_ccnet_ppl_buckets(docs: pd.DataFrame) -> pd.DataFrame:
+    """Twin of quality.ccnet_ppl_buckets: same LM kernel, per-lang tercile
+    thresholds via linear-interpolated percentile (Spark F.percentile and
+    np.percentile(method='linear') use the same definition; bucket
+    assignment is robust to last-ulp threshold drift — see the operator
+    docstring)."""
+    lm = TrigramLM.load()
+    ppl = lm.perplexity_batch(docs["text"].fillna("").tolist(), max_bytes=4096)
+    d = docs.reset_index(drop=True)
+    rows = []
+    for _lang, idx in d.groupby("lang").groups.items():
+        ii = np.asarray(idx)
+        vals = ppl[ii]
+        t1 = np.percentile(vals, 100 / 3, method="linear")
+        t2 = np.percentile(vals, 200 / 3, method="linear")
+        for i in ii:
+            b = "head" if ppl[i] <= t1 else ("middle" if ppl[i] <= t2 else "tail")
+            rows.append((int(d["doc_id"][i]), d["lang"][i], round_half_up(ppl[i], 4), b))
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "lang", "ppl", "bucket"])
+        .astype({"doc_id": np.int64, "ppl": np.float64})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def g_media_features(n: int = 64) -> pd.DataFrame:
     """Twin of multimodal.synth_media + _decode_stub — calls the SAME
     functions (no inlined constants, so a multimodal.py change cannot
@@ -412,6 +438,7 @@ def main() -> None:
         "srp_ann_topk": g_srp_ann_topk(emb),
         "srp_dup_pairs": g_srp_dup_pairs(emb),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
+        "ccnet_ppl_buckets": g_ccnet_ppl_buckets(docs),
         "media_features": g_media_features(),
         "byte_ngram_df_topk": g_byte_ngram_df_topk(docs),
     }

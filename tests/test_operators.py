@@ -349,3 +349,29 @@ def test_cos_kernels_batch_independent():
             assert np.array_equal(parts, whole, equal_nan=True)
 
     check()
+
+
+def test_ccnet_ppl_buckets(spark):
+    """Per-language tercile split: each language's buckets are ~1/3 each,
+    head ppl strictly below tail ppl, and the percentile_approx scale
+    path produces the same schema with near-identical buckets."""
+    from langid_py_spark.operators.quality import ccnet_ppl_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = ccnet_ppl_buckets(docs).toPandas()
+    assert set(got["bucket"]) <= {"head", "middle", "tail"}
+    for lang, grp in got.groupby("lang"):
+        n = len(grp)
+        if n < 9:
+            continue
+        counts = grp["bucket"].value_counts()
+        assert counts.get("head", 0) >= n // 4, (lang, dict(counts))
+        assert counts.get("tail", 0) >= n // 4, (lang, dict(counts))
+        assert grp[grp.bucket == "head"]["ppl"].max() <= grp[
+            grp.bucket == "tail"
+        ]["ppl"].min(), lang
+    approx = ccnet_ppl_buckets(docs, exact=False).toPandas()
+    assert list(approx.columns) == list(got.columns)
+    merged = got.merge(approx, on="doc_id", suffixes=("_e", "_a"))
+    agree = (merged["bucket_e"] == merged["bucket_a"]).mean()
+    assert agree >= 0.95, agree
