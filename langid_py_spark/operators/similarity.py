@@ -455,6 +455,72 @@ def fit_ivf_centroids(
     return spherical_kmeans(mat, n_centroids, seed=seed)
 
 
+def fit_ivf_centroids_distributed(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    sample_rows: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 123,
+) -> np.ndarray:
+    """Spark-native spherical k-means over the FULL dataset — the
+    alternative to the bounded-sample fit (fit_ivf_centroids) when the
+    sample might miss rare clusters.
+
+    Per Lloyd's iteration, ONE distributed job: a pandas UDF assigns each
+    vector to its nearest centroid and emits its L2-normalized
+    components; posexplode + partial+final hash agg reduce them to
+    per-(cluster, dim) sums/counts — after map-side combine the shuffle
+    carries ~partitions x K x dim rows regardless of data size; the
+    K x dim result is collected (tiny), re-meaned and re-normalized on
+    the driver. Init = the deterministic sample fit, so the distributed
+    refinement starts from the same seeded point.
+
+    Float caveat (why the registered driver query uses the SAMPLE fit):
+    distributed sums add in partition order, so centroids are not
+    bit-reproducible across partitionings — immaterial for an ANN coarse
+    quantizer, fatal for a value-hash oracle.
+    """
+    c = fit_ivf_centroids(
+        vectors, n_centroids, sample_rows=sample_rows,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    for _ in range(n_iter):
+        cc = np.ascontiguousarray(c, dtype=np.float64)
+
+        @pandas_udf(
+            T.StructType(
+                [
+                    T.StructField("cid", T.LongType()),
+                    T.StructField("nv", T.ArrayType(T.DoubleType())),
+                ]
+            )
+        )
+        def _assign_norm(vecs: pd.Series) -> pd.DataFrame:
+            mat = _l2_normalize(_to_mat(vecs))
+            cid = np.argmax(rowwise_gemm(mat, cc.T), axis=1).astype(np.int64)
+            return pd.DataFrame({"cid": cid, "nv": list(mat)})
+
+        comp = vectors.select(
+            _assign_norm(F.col(vec_col)).alias("an")
+        ).select(
+            F.col("an.cid").alias("cid"),
+            F.posexplode(F.col("an.nv")).alias("pos", "x"),
+        )
+        stats = (
+            comp.groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .toPandas()
+        )
+        new_c = c.copy()  # empty clusters keep their previous centroid
+        for cid, grp in stats.groupby("cid"):
+            g = grp.sort_values("pos")
+            new_c[int(cid)] = g["s"].to_numpy() / g["n"].to_numpy()
+        c = _l2_normalize(new_c)
+    return c
+
+
 def ivf_assign_udf(centroids: np.ndarray):
     """cluster_id = argmax(normalized_vec @ centroids.T) — one matmul per
     Arrow batch. Centroids ride the UDF closure (tiny: K x dim floats),

@@ -259,6 +259,45 @@ def test_srp_dup_pairs_production_banding_on_near_dups(spark):
     assert len(got & true) / len(true) >= 0.8, (len(got), len(true))
 
 
+def test_ivf_distributed_fit_matches_sample_fit_quality(spark):
+    """Full-data Lloyd's (distributed assign + posexplode partial-agg
+    centroid update) must serve IVF search at least as well as the
+    bounded-sample fit on clustered data: recall@5 >= 0.8 at n_probe=2
+    and exact-equality with brute force when probing every cluster."""
+    from langid_py_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        fit_ivf_centroids_distributed,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 32) * 4
+    vecs = np.vstack(
+        [centers[i % 8] + rng.randn(32) * 0.5 for i in range(400)]
+    ).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(400, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = fit_ivf_centroids_distributed(
+        emb, n_centroids=8, n_iter=5, sample_rows=400
+    )
+    brute = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    got2 = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_topk(emb, q, cents, k=5, n_probe=2).collect()
+    }
+    assert len(got2 & brute) / len(brute) >= 0.8, "distributed-fit recall too low"
+    all_probe = sorted(map(tuple, ivf_topk(emb, q, cents, k=5, n_probe=8).collect()))
+    assert all_probe == sorted(map(tuple, cosine_topk_bruteforce(emb, q, k=5).collect()))
+
+
 def test_lang_heuristic_branches(spark):
     """Every branch of the charset/stopword heuristic fires on a doc that
     should trigger it (the sf fixture is English-only, so the multilingual
