@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from langid_py_spark import config as C
-from langid_py_spark.operators import dedup, similarity, textstats
+from langid_py_spark.operators import contamination, dedup, similarity, textstats
 from langid_py_spark.spark.rules import duckdb_rule_sql, rule_columns
 from langid_py_spark.spark.scrub import duckdb_scrub_sql, scrub_expr
 
@@ -391,6 +391,29 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries_df, centroids, k=5, n_probe=4)
 
 
+_CONTAMINATION_NEEDLES = [
+    "scan",  # high-frequency single word
+    "scan slow",  # shares a prefix with "scan" — exercises the AC fail chain
+    "hash join",
+    "customer query",
+    "vector",
+    "zzz-held-out-canary-000",  # absent: the scan must emit nothing for it
+]
+
+
+def q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: all (doc, needle) containment
+    pairs, matched by ONE Aho-Corasick DFA walk per document (the langid
+    tokenizer machinery pointed at a needle list) instead of |needles|
+    substring passes. SQL oracle: DuckDB instr() containment over a
+    VALUES list. n_hits (overlap-counted) is dropped here — AC overlap
+    semantics aren't ANSI-SQL; pytest pins it against a naive counter."""
+    docs = _t(spark, sf_dir, "documents")
+    return contamination.contamination_scan(docs, _CONTAMINATION_NEEDLES).select(
+        "doc_id", "needle"
+    )
+
+
 def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split (Wenzek 2020): per LANGUAGE, cut the
     LM-perplexity distribution at its terciles — the standard corpus-
@@ -495,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann_topk,
         "srp_dup_pairs": q_srp_dup_pairs,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "contamination_scan": q_contamination_scan,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "media_features": q_media_features,
         "byte_ngram_df_topk": q_byte_ngram_df_topk,
@@ -674,6 +698,9 @@ def oracle_sql() -> dict[str, str]:
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
         "srp_dup_pairs": _golden_sql("srp_dup_pairs"),
         "ivf_ann_topk": _golden_sql("ivf_ann_topk"),
+        "contamination_scan": contamination.contamination_oracle_sql(
+            _CONTAMINATION_NEEDLES, "documents"
+        ),
         "ccnet_ppl_buckets": _golden_sql("ccnet_ppl_buckets"),
         "media_features": _golden_sql("media_features"),
         "byte_ngram_df_topk": _golden_sql("byte_ngram_df_topk"),

@@ -34,6 +34,106 @@ from .scanner import DFA
 
 DEFAULT_MODEL_PATH = str(Path(__file__).resolve().parent.parent / "data" / "model.npz")
 
+_MAX_WALK_ROWS = 4096  # bounds the B x maxlen walk matrices (memory)
+
+
+def dfa_feature_counts(
+    nextmove: np.ndarray,
+    out_indptr: np.ndarray,
+    out_feats: np.ndarray,
+    nstates: int,
+    nfeats: int,
+    texts: list,
+    max_bytes: int | None = None,
+) -> np.ndarray:
+    """Batched DFA walk → (B, nfeats) float64 OVERLAPPING feature-
+    occurrence counts. This IS NBModel.batch_fv's kernel (extracted
+    verbatim — integer counts, so the move cannot change a bit); it is
+    shared with the contamination scanner (operators/contamination.py),
+    which runs the same Aho-Corasick machinery over a needle set instead
+    of the model's n-gram features."""
+    if len(texts) > _MAX_WALK_ROWS:
+        return np.vstack(
+            [
+                dfa_feature_counts(
+                    nextmove, out_indptr, out_feats, nstates, nfeats,
+                    texts[i : i + _MAX_WALK_ROWS], max_bytes,
+                )
+                for i in range(0, len(texts), _MAX_WALK_ROWS)
+            ]
+        )
+    docs = [
+        (t.encode("utf-8", "surrogatepass") if isinstance(t, str) else t)[
+            : max_bytes if max_bytes else None
+        ]
+        for t in texts
+    ]
+    B = len(docs)
+    if B == 0:
+        return np.zeros((0, nfeats), dtype=np.float64)
+    lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=B)
+    maxlen = int(lens.max(initial=0))
+    if maxlen == 0:
+        return np.zeros((B, nfeats), dtype=np.float64)
+
+    # sort docs by length DESC: at walk step t the active set is the
+    # contiguous prefix of docs with len > t — vectorized slices
+    # instead of boolean gathers (2-3x on mixed-length batches)
+    order = np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
+    mat = np.zeros((B, maxlen), dtype=np.uint8)
+    for row, i in enumerate(order):
+        d = docs[i]
+        if d:
+            mat[row, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+
+    nm = nextmove
+    states = np.zeros(B, dtype=np.int64)
+    seq = np.zeros((B, maxlen), dtype=np.int32)
+    # active-count per step: number of sorted docs with len > t
+    neg = -lens_s
+    for t in range(maxlen):
+        k = int(np.searchsorted(neg, -t, side="right"))
+        if k == 0:
+            break
+        st = nm[(states[:k] << 8) + mat[:k, t]]  # int64, no per-step cast
+        states[:k] = st
+        seq[:k, t] = st
+
+    # (doc, state) visit counts in one bincount (doc ids in ORIGINAL
+    # numbering so fv rows line up with the input order)
+    valid = np.arange(maxlen)[None, :] < lens_s[:, None]
+    d_idx = np.broadcast_to(order[:, None], (B, maxlen))[valid]
+    s_idx = seq[valid].astype(np.int64)
+    pair = d_idx * nstates + s_idx
+    cnt = np.bincount(pair, minlength=B * nstates)
+    nz = np.flatnonzero(cnt)
+    if nz.size == 0:
+        return np.zeros((B, nfeats), dtype=np.float64)
+    c = cnt[nz].astype(np.float64)
+    dd = nz // nstates
+    ss = nz % nstates
+
+    # CSR run-expansion: visited state -> its output feature indices
+    start = out_indptr[ss]
+    run = (out_indptr[ss + 1] - start).astype(np.int64)
+    keep = run > 0
+    if not keep.any():
+        return np.zeros((B, nfeats), dtype=np.float64)
+    start, run, dd, c = start[keep], run[keep], dd[keep], c[keep]
+    total = int(run.sum())
+    # offsets within each run: arange(total) - repeat(cumsum_exclusive)
+    cum = np.concatenate(([0], np.cumsum(run)[:-1]))
+    within = np.arange(total) - np.repeat(cum, run)
+    feat_idx = out_feats[np.repeat(start, run) + within]
+    # one weighted bincount replaces zeros() + np.add.at (the ufunc.at
+    # inner loop was 17% of the warm kernel); counts are exact integers
+    # in float64, so summation order cannot change a single bit
+    flat = np.repeat(dd, run) * nfeats + feat_idx
+    return np.bincount(
+        flat, weights=np.repeat(c, run), minlength=B * nfeats
+    ).reshape(B, nfeats)
+
 
 @dataclass
 class NBModel:
@@ -195,86 +295,15 @@ class NBModel:
         self, texts: list[str | bytes], max_bytes: int | None = None
     ) -> np.ndarray:
         """uint32 count matrix (B, nfeats) for a batch of documents."""
-        if len(texts) > self._MAX_WALK_ROWS:
-            return np.vstack(
-                [
-                    self.batch_fv(texts[i : i + self._MAX_WALK_ROWS], max_bytes)
-                    for i in range(0, len(texts), self._MAX_WALK_ROWS)
-                ]
-            )
-        docs = [
-            (t.encode("utf-8", "surrogatepass") if isinstance(t, str) else t)[
-                : max_bytes if max_bytes else None
-            ]
-            for t in texts
-        ]
-        B = len(docs)
-        nfeats = self.nb_numfeats
-        if B == 0:
-            return np.zeros((0, nfeats), dtype=np.float64)
-        lens = np.fromiter((len(d) for d in docs), dtype=np.int64, count=B)
-        maxlen = int(lens.max(initial=0))
-        if maxlen == 0:
-            return np.zeros((B, nfeats), dtype=np.float64)
-
-        # sort docs by length DESC: at walk step t the active set is the
-        # contiguous prefix of docs with len > t — vectorized slices
-        # instead of boolean gathers (2-3x on mixed-length batches)
-        order = np.argsort(-lens, kind="stable")
-        lens_s = lens[order]
-        mat = np.zeros((B, maxlen), dtype=np.uint8)
-        for row, i in enumerate(order):
-            d = docs[i]
-            if d:
-                mat[row, : len(d)] = np.frombuffer(d, dtype=np.uint8)
-
-        nm = self.nextmove
-        states = np.zeros(B, dtype=np.int64)
-        seq = np.zeros((B, maxlen), dtype=np.int32)
-        # active-count per step: number of sorted docs with len > t
-        neg = -lens_s
-        for t in range(maxlen):
-            k = int(np.searchsorted(neg, -t, side="right"))
-            if k == 0:
-                break
-            st = nm[(states[:k] << 8) + mat[:k, t]]  # int64, no per-step cast
-            states[:k] = st
-            seq[:k, t] = st
-
-        # (doc, state) visit counts in one bincount (doc ids in ORIGINAL
-        # numbering so fv rows line up with the input order)
-        valid = np.arange(maxlen)[None, :] < lens_s[:, None]
-        d_idx = np.broadcast_to(order[:, None], (B, maxlen))[valid]
-        s_idx = seq[valid].astype(np.int64)
-        nstates = self.nstates
-        pair = d_idx * nstates + s_idx
-        cnt = np.bincount(pair, minlength=B * nstates)
-        nz = np.flatnonzero(cnt)
-        if nz.size == 0:
-            return np.zeros((B, nfeats), dtype=np.float64)
-        c = cnt[nz].astype(np.float64)
-        dd = nz // nstates
-        ss = nz % nstates
-
-        # CSR run-expansion: visited state -> its output feature indices
-        start = self.out_indptr[ss]
-        run = (self.out_indptr[ss + 1] - start).astype(np.int64)
-        keep = run > 0
-        if not keep.any():
-            return np.zeros((B, nfeats), dtype=np.float64)
-        start, run, dd, c = start[keep], run[keep], dd[keep], c[keep]
-        total = int(run.sum())
-        # offsets within each run: arange(total) - repeat(cumsum_exclusive)
-        cum = np.concatenate(([0], np.cumsum(run)[:-1]))
-        within = np.arange(total) - np.repeat(cum, run)
-        feat_idx = self.out_feats[np.repeat(start, run) + within]
-        # one weighted bincount replaces zeros() + np.add.at (the ufunc.at
-        # inner loop was 17% of the warm kernel); counts are exact integers
-        # in float64, so summation order cannot change a single bit
-        flat = np.repeat(dd, run) * nfeats + feat_idx
-        return np.bincount(
-            flat, weights=np.repeat(c, run), minlength=B * nfeats
-        ).reshape(B, nfeats)
+        return dfa_feature_counts(
+            self.nextmove,
+            self.out_indptr,
+            self.out_feats,
+            self.nstates,
+            self.nb_numfeats,
+            texts,
+            max_bytes=max_bytes,
+        )
 
     # ------------------------------------------------------ scoring
     def nb_classprobs(self, fv: np.ndarray) -> np.ndarray:

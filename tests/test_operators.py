@@ -414,3 +414,48 @@ def test_ccnet_ppl_buckets(spark):
     merged = got.merge(approx, on="doc_id", suffixes=("_e", "_a"))
     agree = (merged["bucket_e"] == merged["bucket_a"]).mean()
     assert agree >= 0.95, agree
+
+
+def test_contamination_scan_matches_naive(spark):
+    """AC-DFA multi-pattern scan == naive per-needle overlapping count on
+    adversarial cases: shared prefixes (AC fail chain), needle inside
+    needle, overlapping self-matches ('aa' in 'aaaa' -> 3), unicode,
+    null text, absent needle."""
+    from langid_py_spark.operators.contamination import contamination_scan
+
+    needles = ["aa", "aab", "scan", "scan slow", "日本", "zzz-absent"]
+    rows = [
+        (0, "aaaa"),                      # 'aa' overlaps x3
+        (1, "aab aabaab"),                # prefix chain aa/aab
+        (2, "scan slow scan fast scan"),  # needle-in-needle
+        (3, "これは日本語です 日本"),        # multi-byte UTF-8
+        (4, None),
+        (5, "nothing here"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r.doc_id, r.needle): r.n_hits
+        for r in contamination_scan(docs, needles).collect()
+    }
+
+    def naive(text, needle):
+        if not text:
+            return 0
+        t, n, c, i = text.encode(), needle.encode(), 0, 0
+        while True:
+            i = t.find(n, i)
+            if i < 0:
+                return c
+            c += 1
+            i += 1  # overlapping
+
+    want = {
+        (did, nd): naive(text, nd)
+        for did, text in rows
+        for nd in needles
+        if naive(text, nd) > 0
+    }
+    assert got == want
+    assert got[(0, "aa")] == 3
+    assert got[(2, "scan")] == 3 and got[(2, "scan slow")] == 1
+    assert not any(nd == "zzz-absent" for _, nd in got)
