@@ -8,8 +8,12 @@ inference path (``langid/langid.py``):
   matrix per Arrow batch, vectorized masked walk, `np.bincount` over
   (doc, state) pairs, CSR run-expansion — no per-row Python in the hot
   loop beyond the O(max_doc_len) masked-vector steps.
-* ``nb_classprobs`` (~L245): pd = fv @ nb_ptc + nb_pc — ONE dense matmul
-  for the whole batch.
+* ``nb_classprobs`` (~L245): pd = fv @ nb_ptc + nb_pc — one matmul for
+  the whole batch, computed via a BATCH-SIZE-INDEPENDENT einsum (BLAS
+  dgemm picks row-blocking by batch size, which shifts last-ulp bits
+  when the same doc is scored in different Arrow batch shapes — fatal
+  for a value-hash oracle; see similarity.rowwise_gemm for the original
+  finding and tests/test_core_model.py for the property test here).
 * ``norm_probs`` (~L115): reference formula 1/np.exp(pd[None,:]-pd[:,None])
   .sum(1) is mathematically softmax(pd); we compute the numerically stable
   equivalent exp(pd-max)/sum(exp(pd-max)) (tested equal to the reference
@@ -167,9 +171,12 @@ class NBModel:
             nb_pc=self.nb_pc,
             nb_classes=np.array(self.nb_classes, dtype=f"U{cls_w}"),
             features=np.array(feats_hex, dtype=f"U{feat_w}"),
-            nextmove=self.nextmove,
+            # narrow on the wire (load() re-widens to int64 for the walk):
+            # serializing the in-memory int64 as-is would silently double
+            # the artifact's DFA table size (ADVICE r03)
+            nextmove=self.nextmove.astype(np.uint32),
             out_indptr=self.out_indptr,
-            out_feats=self.out_feats,
+            out_feats=self.out_feats.astype(np.int32),
         )
 
     @classmethod
@@ -307,8 +314,23 @@ class NBModel:
 
     # ------------------------------------------------------ scoring
     def nb_classprobs(self, fv: np.ndarray) -> np.ndarray:
-        """Log class scores: (B, nclasses) = fv @ nb_ptc + nb_pc."""
-        return fv @ self.nb_ptc + self.nb_pc
+        """Log class scores: (B, nclasses) = fv @ nb_ptc + nb_pc.
+
+        Computed as einsum('ij,kj->ik') over a cached contiguous nb_ptc
+        transpose instead of `fv @ nb_ptc`: BLAS dgemm selects blocking
+        kernels by the row count, so the same document scored in a
+        4096-row batch vs a 157-row partition tail differs in the last
+        ulp — and a conf value within one ulp of a 6dp rounding boundary
+        would flip the driver's golden value-hash depending on partition
+        layout (ADVICE r03). The einsum reduces each (doc, class) cell
+        over j in a fixed order regardless of batch size (property-
+        tested next to the DFA==naive tests); ~3.5x the dgemm cost on an
+        (4096 x 1076) @ (1076 x 18) call = +20ms per 4096-doc batch,
+        invisible next to the DFA walk."""
+        ptc_T = getattr(self, "_ptc_T", None)
+        if ptc_T is None:  # instances are immutable in practice (set_languages returns a new model)
+            ptc_T = self._ptc_T = np.ascontiguousarray(self.nb_ptc.T)
+        return np.einsum("ij,kj->ik", fv, ptc_T, optimize=False) + self.nb_pc
 
     @staticmethod
     def norm_probs(pd: np.ndarray) -> np.ndarray:

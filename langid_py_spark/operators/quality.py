@@ -24,7 +24,12 @@ def ccnet_ppl_buckets(
     exact: bool = True,
 ) -> DataFrame:
     """(doc_id, lang, ppl, bucket) with bucket in head|middle|tail by the
-    per-language ppl tercile thresholds.
+    per-language ppl tercile thresholds. NULL lang is coalesced to the
+    'und' sentinel BEFORE the groupBy/backjoin, so every input row gets
+    a bucket (an inner join on a raw NULL key would silently drop the
+    unlabeled rows — ADVICE r03; 'und' rows form their own tercile
+    distribution, which is exactly CCNet's per-language contract applied
+    to the unknown-language bucket).
 
     Plan: one Arrow-UDF ppl map → per-language percentile aggregation
     (|langs| rows — tiny) → broadcast join back → codegen'd bucketing.
@@ -50,7 +55,7 @@ def ccnet_ppl_buckets(
     ppl_udf = perplexity_udf(lm_path=lm_path or DEFAULT_LM_PATH, max_bytes=max_bytes)
     scored = df.select(
         F.col(id_col),
-        F.col(lang_col).alias("lang"),
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"),
         ppl_udf(F.col(text_col)).alias("_ppl"),
     )
     pct = F.percentile if exact else (

@@ -100,7 +100,13 @@ def cos_pairwise_udf():
     return _cos
 
 
-MAX_DRIVER_QUERIES = 100_000  # safety cap for driver-side query collection
+# Safety cap for driver-side query collection. Deliberately far below
+# driver-memory limits: cosine_topk_bruteforce builds a CreateArray
+# literal with one entry per query id for the pos->qid mapping, and
+# Catalyst analysis/codegen over a ~100k-node expression degrades long
+# before the driver OOMs (ADVICE r03). ~5k literals analyze fine; a
+# larger probe set is batch scoring, not ANN — run it as a join.
+MAX_DRIVER_QUERIES = 5_000
 
 
 def _collect_queries(

@@ -351,6 +351,8 @@ def g_ccnet_ppl_buckets(docs: pd.DataFrame) -> pd.DataFrame:
     lm = TrigramLM.load()
     ppl = lm.perplexity_batch(docs["text"].fillna("").tolist(), max_bytes=4096)
     d = docs.reset_index(drop=True)
+    # NULL lang -> 'und' sentinel, mirroring the operator's coalesce
+    d = d.assign(lang=d["lang"].fillna("und"))
     rows = []
     for _lang, idx in d.groupby("lang").groups.items():
         ii = np.asarray(idx)

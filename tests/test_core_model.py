@@ -103,3 +103,51 @@ def test_fv_additivity(model):
     sep = "\x00\x00\x00\x00"  # NUL never occurs in any trained feature
     fvab = model.instance2fv(a + sep + b)
     np.testing.assert_array_equal(fvab, model.instance2fv(a) + model.instance2fv(b))
+
+
+def test_classprobs_batch_independent(model):
+    """The scorer golden-hash argument rests on this (ADVICE r03): the
+    same document's log class scores must be BITWISE identical whatever
+    Arrow batch it lands in — `fv @ nb_ptc` (BLAS dgemm) was falsified
+    (row-blocking by batch size shifts last-ulp bits), so nb_classprobs
+    routes through a fixed-j-order einsum. Assert equality across many
+    split points on real feature vectors."""
+    rng = np.random.RandomState(11)
+    docs = [make_doc(rng, LANGS[i % len(LANGS)], 2 + i % 4) for i in range(97)]
+    fv = model.batch_fv(docs)
+    full = model.nb_classprobs(fv)
+    for cut in (1, 2, 31, 48, 96):
+        parts = np.vstack(
+            [
+                model.nb_classprobs(np.ascontiguousarray(fv[:cut])),
+                model.nb_classprobs(np.ascontiguousarray(fv[cut:])),
+            ]
+        )
+        assert np.array_equal(parts, full), cut
+    # end-to-end: classify_batch conf values equally batch-independent
+    _, raw_f, norm_f, _ = model.classify_batch(docs)
+    _, raw_a, norm_a, _ = model.classify_batch(docs[:31])
+    _, raw_b, norm_b, _ = model.classify_batch(docs[31:])
+    assert np.array_equal(np.concatenate([raw_a, raw_b]), raw_f)
+    assert np.array_equal(np.concatenate([norm_a, norm_b]), norm_f)
+
+
+def test_npz_roundtrip_narrow_dtypes(model, tmp_path):
+    """save() narrows nextmove->uint32 / out_feats->int32 on the wire
+    (the in-memory int64 is a walk-speed choice, not a format change —
+    serializing it as-is would silently double the artifact, ADVICE r03);
+    load() re-widens and the model behaves identically."""
+    import zipfile
+
+    p = str(tmp_path / "m.npz")
+    model.save(p)
+    z = np.load(p)
+    assert z["nextmove"].dtype == np.uint32
+    assert z["out_feats"].dtype == np.int32
+    with zipfile.ZipFile(p) as zf:
+        assert {"nextmove.npy", "out_feats.npy"} <= set(zf.namelist())
+    back = NBModel.load(p)
+    assert back.nextmove.dtype == np.int64  # re-widened for the walk
+    docs = ["the quick brown fox", "der schnelle braune fuchs", ""]
+    for a, b in zip(model.classify_batch(docs), back.classify_batch(docs)):
+        np.testing.assert_array_equal(a, b)

@@ -416,6 +416,25 @@ def test_ccnet_ppl_buckets(spark):
     assert agree >= 0.95, agree
 
 
+def test_ccnet_ppl_buckets_null_lang(spark):
+    """NULL lang coalesces to 'und' and still gets a bucket — an inner
+    join on a raw NULL key would silently drop unlabeled rows (ADVICE
+    r03). Every input row must appear exactly once in the output."""
+    import pandas as pd
+
+    from langid_py_spark.operators.quality import ccnet_ppl_buckets
+
+    rows = [(i, "some text " * (i + 1), None if i % 3 == 0 else "en") for i in range(12)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    got = ccnet_ppl_buckets(docs).toPandas()
+    assert len(got) == 12
+    assert sorted(got["doc_id"]) == list(range(12))
+    und = got[got["lang"] == "und"]
+    assert len(und) == 4 and set(und["bucket"]) <= {"head", "middle", "tail"}
+
+
 def test_contamination_scan_matches_naive(spark):
     """AC-DFA multi-pattern scan == naive per-needle overlapping count on
     adversarial cases: shared prefixes (AC fail chain), needle inside
