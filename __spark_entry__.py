@@ -377,6 +377,32 @@ def q_srp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair -> CLUSTER resolution: connected components
+    (alternating large-star/small-star equi-join iterations, operators/
+    cluster.py) over the UNION of three near-dup pair sources (minhash
+    LSH, simhash, winnowing — same params as their registered queries),
+    emitting (doc_id, cluster_id=component min, is_rep). The step that
+    turns pair tables into an actionable drop list; golden twin is an
+    INDEPENDENT union-find."""
+    from langid_py_spark.operators.cluster import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .unionByName(
+            dedup.simhash_candidates(docs, max_hamming=3).select("id_a", "id_b")
+        )
+        .unionByName(
+            dedup.winnow_pairs(docs, min_shared=2, k=20, window=12).select(
+                "id_a", "id_b"
+            )
+        )
+    )
+    return dedup_clusters(pairs)
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the second scale path beside SRP-LSH): spherical-k-means
     coarse quantizer trained on a bounded deterministic sample, candidates
@@ -517,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "srp_ann_topk": q_srp_ann_topk,
         "srp_dup_pairs": q_srp_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ivf_ann_topk": q_ivf_ann_topk,
         "contamination_scan": q_contamination_scan,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
@@ -697,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _golden_sql("winnow_pairs"),
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
         "srp_dup_pairs": _golden_sql("srp_dup_pairs"),
+        "dedup_clusters": _golden_sql("dedup_clusters"),
         "ivf_ann_topk": _golden_sql("ivf_ann_topk"),
         "contamination_scan": contamination.contamination_oracle_sql(
             _CONTAMINATION_NEEDLES, "documents"

@@ -342,6 +342,37 @@ def g_ivf_ann_topk(
     )
 
 
+def g_dedup_clusters(pair_frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Twin of operators/cluster.dedup_clusters over the UNION of the
+    near-dup pair tables: plain union-find (path-halving) with the min
+    node id as the component representative — an INDEPENDENT algorithm
+    from the Spark side's large-star/small-star iteration, so agreement
+    here pins the distributed CC logic, not just shared kernels."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for frame in pair_frames:
+        for a, b in zip(frame["id_a"].astype(int), frame["id_b"].astype(int)):
+            for n in (a, b):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the representative
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    rows = sorted((n, find(n)) for n in parent)
+    return pd.DataFrame(
+        [(n, r, n == r) for n, r in rows],
+        columns=["doc_id", "cluster_id", "is_rep"],
+    ).astype({"doc_id": np.int64, "cluster_id": np.int64, "is_rep": bool})
+
+
 def g_ccnet_ppl_buckets(docs: pd.DataFrame) -> pd.DataFrame:
     """Twin of quality.ccnet_ppl_buckets: same LM kernel, per-lang tercile
     thresholds via linear-interpolated percentile (Spark F.percentile and
@@ -430,13 +461,17 @@ def main() -> None:
     docs = pd.read_parquet(sf_dir / "documents.parquet")
     emb = pd.read_parquet(sf_dir / "embeddings.parquet")
 
+    mh = g_minhash_pairs(docs)
+    sh = g_simhash_candidates(docs)
+    wp = g_winnow_pairs(docs)
     goldens = {
         "langid_documents": g_langid_documents(docs),
         "perplexity_documents": g_perplexity_documents(docs),
         "rank_languages": g_rank_languages(docs),
-        "minhash_pairs": g_minhash_pairs(docs),
-        "simhash_candidates": g_simhash_candidates(docs),
-        "winnow_pairs": g_winnow_pairs(docs),
+        "minhash_pairs": mh,
+        "simhash_candidates": sh,
+        "winnow_pairs": wp,
+        "dedup_clusters": g_dedup_clusters([mh, sh, wp]),
         "srp_ann_topk": g_srp_ann_topk(emb),
         "srp_dup_pairs": g_srp_dup_pairs(emb),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
