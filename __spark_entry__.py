@@ -440,6 +440,19 @@ def q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_scan_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-needle-list decontamination path (10^4-10^6 needles):
+    rolling-hash prefix-fingerprint candidate join + byte-exact verify —
+    no DFA (the dense table costs ~2 KB of worker memory per needle
+    byte, measured; see operators/contamination.py), no shuffle. Same
+    needle list and SQL oracle as contamination_scan, so the driver
+    pins both paths to identical containment sets."""
+    docs = _t(spark, sf_dir, "documents")
+    return contamination.contamination_scan_join(
+        docs, _CONTAMINATION_NEEDLES
+    ).select("doc_id", "needle")
+
+
 def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split (Wenzek 2020): per LANGUAGE, cut the
     LM-perplexity distribution at its terciles — the standard corpus-
@@ -546,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ivf_ann_topk": q_ivf_ann_topk,
         "contamination_scan": q_contamination_scan,
+        "contamination_scan_join": q_contamination_scan_join,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "media_features": q_media_features,
         "byte_ngram_df_topk": q_byte_ngram_df_topk,
@@ -727,6 +741,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _golden_sql("dedup_clusters"),
         "ivf_ann_topk": _golden_sql("ivf_ann_topk"),
         "contamination_scan": contamination.contamination_oracle_sql(
+            _CONTAMINATION_NEEDLES, "documents"
+        ),
+        "contamination_scan_join": contamination.contamination_oracle_sql(
             _CONTAMINATION_NEEDLES, "documents"
         ),
         "ccnet_ppl_buckets": _golden_sql("ccnet_ppl_buckets"),

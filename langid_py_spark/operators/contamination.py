@@ -8,14 +8,32 @@ Aho-Corasick DFA that the langid tokenizer compiles
 (core/scanner.py::build_dfa, re-derivation of saffsd/langid.py
 ``langid/train/scanner.py :: Scanner``) — to match EVERY needle in one
 O(bytes) walk per document, with the same batched NumPy kernel the
-scorer uses (core/model.py::dfa_feature_counts). The DFA arrays ride
-the UDF closure (needle lists are small relative to the corpus; a
-10^5-needle DFA is a few MB).
+scorer uses (core/model.py::dfa_feature_counts).
 
-Semantics: byte-exact, case-sensitive, overlapping occurrences — n_hits
-is the Aho-Corasick count; containment (n_hits > 0) is what matters for
-decontamination and what the ANSI-SQL oracle checks (DuckDB
-``instr(text, needle) > 0``).
+Capacity split (MEASURED, r04 — the earlier "a 10^5-needle DFA is a few
+MB" claim was wrong by ~2.5 orders of magnitude):
+
+* contamination_scan (dense AC-DFA) — the nextmove table is
+  nstates x 256 entries with nstates ~ total trie bytes; 10k needles of
+  30-80 bytes = 429k states = 878 MB int64 PER PYTHON WORKER and a
+  21.7 s driver-side build. Right for needle lists up to a few hundred
+  KB of text (canary strings, a benchmark's prompts); the
+  max_total_needle_bytes guard raises beyond that instead of silently
+  shipping a GB closure to every worker.
+* contamination_scan_join — the 10^4-10^6-needle path (a real
+  decontamination list is every prompt of every eval suite): each
+  needle is fingerprinted by the rolling hash of its first k bytes
+  (the SAME _rolling_hashes_batch kernel as winnowing/minhash); one
+  Arrow UDF pass emits, per document, only the DISTINCT k-gram hashes
+  that hit the (sorted, closure-shipped — 8 bytes/needle) fingerprint
+  set; candidates broadcast-join the needle table and are verified
+  byte-exactly. No DFA, no shuffle — a pure map + broadcast hash join,
+  with per-candidate verification bounded by the (rare) candidate count.
+
+Semantics (both paths): byte-exact, case-sensitive, overlapping
+occurrences — n_hits is the Aho-Corasick count; containment
+(n_hits > 0) is what matters for decontamination and what the ANSI-SQL
+oracle checks (DuckDB ``instr(text, needle) > 0``).
 """
 
 from __future__ import annotations
@@ -34,17 +52,33 @@ def contamination_scan(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bytes: int | None = None,
+    max_total_needle_bytes: int = 200_000,
 ) -> DataFrame:
     """(doc_id, needle, n_hits) for every document containing a needle.
 
     Plan: scan → one Arrow UDF walk per batch emitting the per-needle
     count vector → posexplode → filter n_hits > 0. Pure map until the
     (tiny) result — no shuffle, pushdown/pruning preserved.
+
+    Dense-DFA capacity guard: nextmove is nstates x 256 int64 with
+    nstates ~ total needle bytes, i.e. ~2 KB of worker memory PER NEEDLE
+    BYTE (measured 878 MB at 533 KB of needles). Above
+    `max_total_needle_bytes` (default 200 KB ≈ 400 MB/worker) this
+    raises — use contamination_scan_join, which is O(8 bytes) of closure
+    per needle.
     """
     if not needles:
         raise ValueError("empty needle list")
     if len(set(needles)) != len(needles):
         raise ValueError("duplicate needles")
+    total = sum(len(n.encode("utf-8", "surrogatepass")) for n in needles)
+    if total > max_total_needle_bytes:
+        raise ValueError(
+            f"needle list is {total} bytes; the dense AC-DFA costs ~2 KB of "
+            f"executor memory per needle byte (> {max_total_needle_bytes} "
+            "bytes would ship a multi-hundred-MB closure to every Python "
+            "worker). Use contamination_scan_join for large lists."
+        )
     from langid_py_spark.core.model import dfa_feature_counts
     from langid_py_spark.core.scanner import build_dfa
 
@@ -72,6 +106,146 @@ def contamination_scan(
             "n_hits",
         )
     )
+
+
+def _overlap_count(hay: bytes, needle: bytes) -> int:
+    """Overlapping occurrence count — the Aho-Corasick semantics the
+    dense path emits ('aa' in 'aaaa' -> 3)."""
+    n, i = 0, hay.find(needle)
+    while i != -1:
+        n += 1
+        i = hay.find(needle, i + 1)
+    return n
+
+
+def contamination_scan_join(
+    df: DataFrame,
+    needles: list[str],
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """(doc_id, needle, n_hits) — same contract as contamination_scan,
+    built for LARGE needle lists (10^4-10^6: full eval-suite
+    decontamination) where the dense DFA's ~2 KB/needle-byte worker
+    memory is prohibitive.
+
+    Plan: per document, ONE rolling-hash pass (the shared
+    _rolling_hashes_batch kernel) emits only the distinct k-gram hashes
+    present in the needle-prefix fingerprint set (sorted uint64 array in
+    the UDF closure — 8 bytes/needle; membership via searchsorted) →
+    explode the (rare) candidate hashes → broadcast equi-join the
+    (phash, needle) dim table → byte-exact verification with
+    overlapping-count semantics. A hash false positive only costs a
+    verification; it can never emit a wrong row. No shuffle: map +
+    broadcast hash join + map.
+
+    `k` (prefix-fingerprint length, bytes) defaults to
+    min(16, shortest needle). Needles shorter than k are matched with a
+    small dense AC-DFA instead (they are few and short by construction,
+    so that DFA is genuinely tiny); both partial results union.
+    """
+    if not needles:
+        raise ValueError("empty needle list")
+    if len(set(needles)) != len(needles):
+        raise ValueError("duplicate needles")
+    from langid_py_spark.operators.dedup import (
+        _FNV_OFFSET,
+        _FNV_PRIME,
+        _rolling_hashes_batch,
+    )
+
+    nb = [(n, n.encode("utf-8", "surrogatepass")) for n in needles]
+    if k is None:
+        k = min(16, min(len(b) for _, b in nb))
+    short = [n for n, b in nb if len(b) < k]
+    long_nb = [(n, b) for n, b in nb if len(b) >= k]
+
+    out_parts = []
+    if short:
+        out_parts.append(
+            contamination_scan(
+                df, short, text_col=text_col, id_col=id_col, max_bytes=max_bytes
+            )
+        )
+    if long_nb:
+        # needle prefix fingerprints via the SAME kernel the doc side uses
+        pre = [b[:k] for _, b in long_nb]
+        lens = np.fromiter((len(p) for p in pre), dtype=np.int64, count=len(pre))
+        buf = np.frombuffer(b"".join(pre), dtype=np.uint8).astype(np.uint64)
+        ph, counts = _rolling_hashes_batch(buf, lens, k, _FNV_PRIME, _FNV_OFFSET)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        phash = ph[starts]  # first full window == hash of needle[:k]
+        phash_sorted = np.unique(phash)
+
+        @pandas_udf(T.ArrayType(T.LongType()))
+        def _cand_hashes(texts: pd.Series) -> pd.Series:
+            B = len(texts)
+            if B == 0:
+                return pd.Series([], dtype=object)
+            datas = [
+                t.encode("utf-8", "surrogatepass")[: max_bytes if max_bytes else None]
+                for t in texts.fillna("")
+            ]
+            dl = np.fromiter((len(d) for d in datas), dtype=np.int64, count=B)
+            dbuf = np.frombuffer(b"".join(datas), dtype=np.uint8).astype(np.uint64)
+            h, c = _rolling_hashes_batch(dbuf, dl, k, _FNV_PRIME, _FNV_OFFSET)
+            pos = np.searchsorted(phash_sorted, h)
+            pos = np.minimum(pos, len(phash_sorted) - 1)
+            hit = phash_sorted[pos] == h
+            seg = np.concatenate(([0], np.cumsum(c)[:-1]))
+            out = []
+            for i in range(B):
+                hh = h[seg[i] : seg[i] + c[i]][hit[seg[i] : seg[i] + c[i]]]
+                out.append(np.unique(hh).astype(np.int64))
+            return pd.Series(out)
+
+        spark = df.sparkSession
+        needle_dim = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "phash": phash.astype(np.int64),
+                    "needle": [n for n, _ in long_nb],
+                }
+            )
+        )
+
+        @pandas_udf(T.LongType())
+        def _verify(texts: pd.Series, ns: pd.Series) -> pd.Series:
+            # per-CANDIDATE Python, bounded by the candidate count (rare
+            # by construction); byte-exact overlapping count
+            mb = max_bytes if max_bytes else None
+            return pd.Series(
+                [
+                    _overlap_count(
+                        (t or "").encode("utf-8", "surrogatepass")[:mb],
+                        n.encode("utf-8", "surrogatepass"),
+                    )
+                    for t, n in zip(texts, ns)
+                ],
+                dtype=np.int64,
+            )
+
+        cand = (
+            df.select(
+                F.col(id_col),
+                F.col(text_col).alias("_text"),
+                F.explode(_cand_hashes(F.col(text_col))).alias("phash"),
+            )
+            .join(F.broadcast(needle_dim), "phash")
+            .select(
+                F.col(id_col),
+                "needle",
+                _verify(F.col("_text"), F.col("needle")).alias("n_hits"),
+            )
+            .filter(F.col("n_hits") > 0)
+        )
+        out_parts.append(cand)
+    result = out_parts[0]
+    for p in out_parts[1:]:
+        result = result.unionByName(p)
+    return result
 
 
 def contamination_oracle_sql(needles: list[str], table: str = "documents") -> str:

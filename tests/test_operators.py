@@ -478,3 +478,85 @@ def test_contamination_scan_matches_naive(spark):
     assert got[(0, "aa")] == 3
     assert got[(2, "scan")] == 3 and got[(2, "scan slow")] == 1
     assert not any(nd == "zzz-absent" for _, nd in got)
+
+
+def test_contamination_join_path_matches_dense(spark):
+    """contamination_scan_join (rolling-hash fingerprint join + exact
+    verify) must emit EXACTLY the dense AC-DFA path's rows — same
+    overlapping-count semantics — on the adversarial cases, including
+    needles shorter than k (routed to the small-DFA branch)."""
+    from langid_py_spark.operators.contamination import (
+        contamination_scan,
+        contamination_scan_join,
+    )
+
+    needles = ["aa", "aab", "scan", "scan slow", "日本", "zzz-absent"]
+    rows = [
+        (0, "aaaa"),
+        (1, "aab aabaab"),
+        (2, "scan slow scan fast scan"),
+        (3, "これは日本語です 日本"),
+        (4, None),
+        (5, "nothing here"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    dense = {
+        (r.doc_id, r.needle): r.n_hits
+        for r in contamination_scan(docs, needles).collect()
+    }
+    for k in (2, 4, 8):  # k=4/8 force the short-needle AC branch for 'aa'
+        joined = {
+            (r.doc_id, r.needle): r.n_hits
+            for r in contamination_scan_join(docs, needles, k=k).collect()
+        }
+        assert joined == dense, (k, joined, dense)
+
+
+def test_contamination_dense_guard_and_10k_needle_join(spark):
+    """The dense AC-DFA costs ~2 KB of worker memory PER NEEDLE BYTE
+    (measured r04: 533 KB of needles -> 429k states -> 878 MB int64 and
+    a 21.7 s build), so contamination_scan REFUSES large lists; the join
+    path handles a real 10k-needle decontamination list with an
+    8-byte/needle closure, verified against naive containment on a
+    sampled subset."""
+    import time
+
+    from langid_py_spark.operators.contamination import (
+        contamination_scan,
+        contamination_scan_join,
+    )
+
+    docs_pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    rng = np.random.RandomState(42)
+    texts = docs_pdf["text"].fillna("").tolist()
+    needles = []
+    for _ in range(10_500):
+        t = texts[rng.randint(len(texts))]
+        length = rng.randint(30, 80)
+        s = rng.randint(max(1, len(t) - length))
+        needles.append(t[s : s + length])
+    needles = list(dict.fromkeys(needles))[:10_000]
+    needles += [f"zzz-canary-{i:05d}-held-out" for i in range(50)]  # absent
+    assert len(needles) >= 10_000
+
+    docs = spark.createDataFrame(docs_pdf)
+    with pytest.raises(ValueError, match="dense AC-DFA"):
+        contamination_scan(docs, needles)
+
+    t0 = time.perf_counter()
+    got = contamination_scan_join(docs, needles, k=16).collect()
+    wall = time.perf_counter() - t0
+    assert wall < 120, wall  # needle fingerprinting is ms, scan is one pass
+    got_pairs = {(r.doc_id, r.needle) for r in got}
+    assert len(got_pairs) >= 10_000  # every sampled needle hits its source doc
+    assert not any("zzz-canary" in n for _, n in got_pairs)
+    # byte-exact correctness on a sampled needle subset vs naive python
+    by_doc = dict(zip(docs_pdf["doc_id"], texts))
+    sample_idx = rng.choice(len(needles) - 50, size=200, replace=False)
+    for i in sample_idx:
+        nd = needles[int(i)]
+        want = {(did, nd) for did, t in by_doc.items() if nd in t}
+        have = {(d, n) for d, n in got_pairs if n == nd}
+        assert have == want, nd
