@@ -465,6 +465,21 @@ def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_ppl_buckets(docs)
 
 
+def q_ccnet_ppl_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB CCNet path: percentile_approx (mergeable quantile
+    sketch, one pass) instead of exact per-group percentile — same plan
+    shape. Deterministic at this SF because the sketch's rank error
+    (n/accuracy = 500/10000 rows) is under one row, making it
+    RANK-EXACT: the golden twin models the sorted value at rank
+    ceil(p*n). At production group sizes the path is genuinely
+    approximate — which CCNet tolerates (the tercile cut is a tuning
+    knob, not a contract)."""
+    from langid_py_spark.operators.quality import ccnet_ppl_buckets
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return ccnet_ppl_buckets(docs, exact=False)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from langid_py_spark.operators.multimodal import decode_features, synth_media
 
@@ -561,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scan": q_contamination_scan,
         "contamination_scan_join": q_contamination_scan_join,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+        "ccnet_ppl_buckets_approx": q_ccnet_ppl_buckets_approx,
         "media_features": q_media_features,
         "byte_ngram_df_topk": q_byte_ngram_df_topk,
         "rank_languages": q_rank_languages,
@@ -747,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
             _CONTAMINATION_NEEDLES, "documents"
         ),
         "ccnet_ppl_buckets": _golden_sql("ccnet_ppl_buckets"),
+        "ccnet_ppl_buckets_approx": _golden_sql("ccnet_ppl_buckets_approx"),
         "media_features": _golden_sql("media_features"),
         "byte_ngram_df_topk": _golden_sql("byte_ngram_df_topk"),
     }

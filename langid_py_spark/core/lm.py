@@ -138,6 +138,74 @@ class TrigramLM:
         return out
 
 
+DEFAULT_MULTI_LM_PATH = str(
+    Path(__file__).resolve().parent.parent / "data" / "lm_by_lang.npz"
+)
+
+_GLOBAL_KEY = "__global__"
+
+
+@dataclass
+class MultiTrigramLM:
+    """Per-LANGUAGE trigram LMs + a global fallback — the CCNet contract
+    (Wenzek 2020 scores each document with ITS language's LM; a single
+    global LM conflates script frequency with quality and systematically
+    over-penalizes whichever languages dominate the byte space least).
+
+    All tables live in ONE npz (langs are enumerable and each table is
+    small); per executor the artifact is loaded once and the dict rides
+    the UDF closure — the broadcast-analogue pattern of the NB model.
+    """
+
+    lms: dict[str, TrigramLM]
+    fallback: TrigramLM
+
+    def save(self, path: str) -> None:
+        arrays: dict[str, np.ndarray] = {}
+        for lang, lm in {**self.lms, _GLOBAL_KEY: self.fallback}.items():
+            for field in ("tri_keys", "tri_logp", "bi_keys", "bi_logp", "uni_logp"):
+                arrays[f"{lang}::{field}"] = getattr(lm, field)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str = DEFAULT_MULTI_LM_PATH) -> "MultiTrigramLM":
+        z = np.load(path, allow_pickle=False)
+        langs = sorted({k.split("::", 1)[0] for k in z.files})
+        lms = {
+            lang: TrigramLM(
+                tri_keys=z[f"{lang}::tri_keys"],
+                tri_logp=z[f"{lang}::tri_logp"],
+                bi_keys=z[f"{lang}::bi_keys"],
+                bi_logp=z[f"{lang}::bi_logp"],
+                uni_logp=z[f"{lang}::uni_logp"],
+            )
+            for lang in langs
+        }
+        fallback = lms.pop(_GLOBAL_KEY)
+        return cls(lms=lms, fallback=fallback)
+
+    def perplexity_batch_by_lang(
+        self, texts: list[str], langs: list[str | None], max_bytes: int = 4096
+    ) -> np.ndarray:
+        """Per-doc perplexity under the doc's OWN language LM (global
+        fallback for unknown/None langs). Batch-size-independent like
+        perplexity_batch: each doc is scored only against its own bytes
+        within its language sub-batch, so Arrow batch boundaries cannot
+        change a value — golden-safe."""
+        B = len(texts)
+        out = np.empty(B, dtype=np.float64)
+        keys = np.array(
+            [l if (l is not None and l in self.lms) else _GLOBAL_KEY for l in langs],
+            dtype=object,
+        )
+        for lang in np.unique(keys):
+            lm = self.fallback if lang == _GLOBAL_KEY else self.lms[str(lang)]
+            idx = np.flatnonzero(keys == lang)
+            sub = lm.perplexity_batch([texts[i] for i in idx], max_bytes=max_bytes)
+            out[idx] = sub
+        return out
+
+
 def train_lm(texts: list[str], min_count: int = 2) -> TrigramLM:
     """Estimate the interpolated byte-trigram LM from clean training text."""
     uni = np.zeros(256, dtype=np.float64)

@@ -6,6 +6,12 @@ Data") — per LANGUAGE, rank documents by LM perplexity and cut the
 distribution at the 1/3 and 2/3 percentiles; 'head' (lowest ppl) is the
 cleanest training data. This is the standard corpus-level companion to
 the per-row heuristic rules in spark/rules.py.
+
+Per-language LMs (r04): perplexity is scored under the document's OWN
+language LM (core/lm.py::MultiTrigramLM, one npz of 18 per-lang trigram
+tables + the global fallback) — CCNet's actual contract; a single
+global LM conflates script frequency with quality. per_lang_lm=False
+keeps the global LM for ablation.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ def ccnet_ppl_buckets(
     lm_path: str | None = None,
     max_bytes: int = 4096,
     exact: bool = True,
+    per_lang_lm: bool = True,
 ) -> DataFrame:
     """(doc_id, lang, ppl, bucket) with bucket in head|middle|tail by the
     per-language ppl tercile thresholds. NULL lang is coalesced to the
@@ -49,15 +56,27 @@ def ccnet_ppl_buckets(
     hash-matches even if Spark's and numpy's interpolation differ in the
     final bit.
     """
-    from langid_py_spark.core.lm import DEFAULT_LM_PATH
-    from langid_py_spark.spark.perplexity import perplexity_udf
+    from langid_py_spark.core.lm import DEFAULT_LM_PATH, DEFAULT_MULTI_LM_PATH
+    from langid_py_spark.spark.perplexity import perplexity_by_lang_udf, perplexity_udf
 
-    ppl_udf = perplexity_udf(lm_path=lm_path or DEFAULT_LM_PATH, max_bytes=max_bytes)
-    scored = df.select(
-        F.col(id_col),
-        F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"),
-        ppl_udf(F.col(text_col)).alias("_ppl"),
-    )
+    lang = F.coalesce(F.col(lang_col), F.lit("und")).alias("lang")
+    if per_lang_lm:
+        # the CCNet contract proper: each doc scored by ITS language's LM
+        # ('und'/unknown falls back to the global LM); per_lang_lm=False
+        # keeps the single global LM for ablation/debug
+        ppl_by_lang = perplexity_by_lang_udf(
+            multi_lm_path=lm_path or DEFAULT_MULTI_LM_PATH, max_bytes=max_bytes
+        )
+        scored = df.select(
+            F.col(id_col), lang, F.col(text_col).alias("_t")
+        ).select(
+            F.col(id_col), "lang", ppl_by_lang(F.col("_t"), F.col("lang")).alias("_ppl")
+        )
+    else:
+        ppl_udf = perplexity_udf(lm_path=lm_path or DEFAULT_LM_PATH, max_bytes=max_bytes)
+        scored = df.select(
+            F.col(id_col), lang, ppl_udf(F.col(text_col)).alias("_ppl")
+        )
     pct = F.percentile if exact else (
         lambda c, p: F.percentile_approx(c, p, 10_000)
     )

@@ -14,9 +14,15 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from langid_py_spark import config as C
-from langid_py_spark.core.lm import DEFAULT_LM_PATH, TrigramLM
+from langid_py_spark.core.lm import (
+    DEFAULT_LM_PATH,
+    DEFAULT_MULTI_LM_PATH,
+    MultiTrigramLM,
+    TrigramLM,
+)
 
 _LM_CACHE: dict[str, TrigramLM] = {}
+_MULTI_LM_CACHE: dict[str, MultiTrigramLM] = {}
 
 
 def _get_lm(path: str) -> TrigramLM:
@@ -27,11 +33,40 @@ def _get_lm(path: str) -> TrigramLM:
     return lm
 
 
+def _get_multi_lm(path: str) -> MultiTrigramLM:
+    lm = _MULTI_LM_CACHE.get(path)
+    if lm is None:
+        lm = MultiTrigramLM.load(path)
+        _MULTI_LM_CACHE[path] = lm
+    return lm
+
+
 def perplexity_udf(lm_path: str = DEFAULT_LM_PATH, max_bytes: int = C.SCORE_MAX_BYTES):
     @pandas_udf(T.DoubleType())
     def _ppl(texts: pd.Series) -> pd.Series:
         lm = _get_lm(lm_path)
         return pd.Series(lm.perplexity_batch(texts.fillna("").tolist(), max_bytes=max_bytes))
+
+    return _ppl
+
+
+def perplexity_by_lang_udf(
+    multi_lm_path: str = DEFAULT_MULTI_LM_PATH, max_bytes: int = C.SCORE_MAX_BYTES
+):
+    """(text, lang) -> perplexity under the doc's OWN language LM (global
+    fallback for unknown langs) — the CCNet contract. Same executor-
+    singleton + Arrow-batch pattern as the global UDF."""
+
+    @pandas_udf(T.DoubleType())
+    def _ppl(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        mlm = _get_multi_lm(multi_lm_path)
+        return pd.Series(
+            mlm.perplexity_batch_by_lang(
+                texts.fillna("").tolist(),
+                [None if l is None or (isinstance(l, float)) else str(l) for l in langs],
+                max_bytes=max_bytes,
+            )
+        )
 
     return _ppl
 

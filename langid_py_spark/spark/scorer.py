@@ -87,23 +87,34 @@ def score_udf(
     lm_path: str | None = None,
     langs: list[str] | None = None,
     max_bytes: int | None = 4096,
+    per_lang_ppl: bool = True,
 ):
     """Fused classify + perplexity UDF: the hot pipeline ships the text
     column across the Arrow boundary ONCE and returns one struct.
-    Separate classify_udf/perplexity_udf remain for standalone use."""
-    from langid_py_spark.core.lm import DEFAULT_LM_PATH
-    from langid_py_spark.spark.perplexity import _get_lm
+    Separate classify_udf/perplexity_udf remain for standalone use.
 
-    lm_path_r = lm_path or DEFAULT_LM_PATH
+    per_lang_ppl=True (default) scores perplexity under the PREDICTED
+    language's LM (CCNet semantics — fusion makes this free: the lang is
+    already in hand when the LM lookup runs; unknown langs fall back to
+    the global LM). False keeps the single global LM."""
+    from langid_py_spark.core.lm import DEFAULT_LM_PATH, DEFAULT_MULTI_LM_PATH
+    from langid_py_spark.spark.perplexity import _get_lm, _get_multi_lm
+
+    lm_path_r = lm_path or (DEFAULT_MULTI_LM_PATH if per_lang_ppl else DEFAULT_LM_PATH)
     langs_t = tuple(langs) if langs else None
 
     @pandas_udf(SCORE_SCHEMA)
     def _score(texts: pd.Series) -> pd.DataFrame:
         model = _get_model(model_path, langs_t)
-        lm = _get_lm(lm_path_r)
         vals = texts.fillna("").tolist()
         lang, raw, norm, nbytes = model.classify_batch(vals, max_bytes=max_bytes)
-        ppl = lm.perplexity_batch(vals, max_bytes=max_bytes or 4096)
+        if per_lang_ppl:
+            mlm = _get_multi_lm(lm_path_r)
+            ppl = mlm.perplexity_batch_by_lang(
+                vals, list(lang), max_bytes=max_bytes or 4096
+            )
+        else:
+            ppl = _get_lm(lm_path_r).perplexity_batch(vals, max_bytes=max_bytes or 4096)
         return pd.DataFrame(
             {
                 "lang": lang,

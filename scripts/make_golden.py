@@ -373,23 +373,43 @@ def g_dedup_clusters(pair_frames: list[pd.DataFrame]) -> pd.DataFrame:
     ).astype({"doc_id": np.int64, "cluster_id": np.int64, "is_rep": bool})
 
 
-def g_ccnet_ppl_buckets(docs: pd.DataFrame) -> pd.DataFrame:
+def g_ccnet_ppl_buckets(docs: pd.DataFrame, approx: bool = False) -> pd.DataFrame:
     """Twin of quality.ccnet_ppl_buckets: same LM kernel, per-lang tercile
     thresholds via linear-interpolated percentile (Spark F.percentile and
     np.percentile(method='linear') use the same definition; bucket
     assignment is robust to last-ulp threshold drift — see the operator
-    docstring)."""
-    lm = TrigramLM.load()
-    ppl = lm.perplexity_batch(docs["text"].fillna("").tolist(), max_bytes=4096)
+    docstring).
+
+    approx=True models percentile_approx(_, p, 10000): the t-digest-
+    style summary's rank error is n/accuracy rows, which is < 1 row for
+    every group smaller than the accuracy — so at oracle SF the approx
+    path is RANK-EXACT and deterministic: the sorted value at 0-indexed
+    rank ceil(p*n)-1 (verified against Spark on every fixture group).
+    At production group sizes it is genuinely approximate, which CCNet
+    tolerates (the cut is a tuning knob, not a contract)."""
+    from langid_py_spark.core.lm import MultiTrigramLM
+
     d = docs.reset_index(drop=True)
-    # NULL lang -> 'und' sentinel, mirroring the operator's coalesce
+    # NULL lang -> 'und' sentinel, mirroring the operator's coalesce;
+    # per-lang LM selection keyed by the same column ('und' -> fallback)
     d = d.assign(lang=d["lang"].fillna("und"))
+    mlm = MultiTrigramLM.load()
+    ppl = mlm.perplexity_batch_by_lang(
+        d["text"].fillna("").tolist(), d["lang"].tolist(), max_bytes=4096
+    )
     rows = []
     for _lang, idx in d.groupby("lang").groups.items():
         ii = np.asarray(idx)
         vals = ppl[ii]
-        t1 = np.percentile(vals, 100 / 3, method="linear")
-        t2 = np.percentile(vals, 200 / 3, method="linear")
+        if approx:
+            v = np.sort(vals)
+            n = len(v)
+            # same float p the operator passes to percentile_approx
+            t1 = v[int(np.ceil((1 / 3) * n)) - 1]
+            t2 = v[int(np.ceil((2 / 3) * n)) - 1]
+        else:
+            t1 = np.percentile(vals, 100 / 3, method="linear")
+            t2 = np.percentile(vals, 200 / 3, method="linear")
         for i in ii:
             b = "head" if ppl[i] <= t1 else ("middle" if ppl[i] <= t2 else "tail")
             rows.append((int(d["doc_id"][i]), d["lang"][i], round_half_up(ppl[i], 4), b))
@@ -476,6 +496,7 @@ def main() -> None:
         "srp_dup_pairs": g_srp_dup_pairs(emb),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
         "ccnet_ppl_buckets": g_ccnet_ppl_buckets(docs),
+        "ccnet_ppl_buckets_approx": g_ccnet_ppl_buckets(docs, approx=True),
         "media_features": g_media_features(),
         "byte_ngram_df_topk": g_byte_ngram_df_topk(docs),
     }

@@ -6,7 +6,7 @@ Run by tests/test_submit.py (and usable manually):
     python scripts/make_pyfiles_zip.py
     spark-submit --master local[4] \
         --py-files dist/langid_py_spark.zip \
-        --files langid_py_spark/data/model.npz,langid_py_spark/data/lm.npz \
+        --files langid_py_spark/data/model.npz,langid_py_spark/data/lm_by_lang.npz \
         scripts/submit_smoke_job.py
 
 `langid_py_spark` must import from the ZIP (this script's own directory
@@ -37,7 +37,8 @@ rows = [
 ]
 docs = spark.createDataFrame(rows, "doc_id long, text string")
 sc_udf = score_udf(
-    model_path=SparkFiles.get("model.npz"), lm_path=SparkFiles.get("lm.npz")
+    model_path=SparkFiles.get("model.npz"),
+    lm_path=SparkFiles.get("lm_by_lang.npz"),  # per-lang LM dict (r04 default)
 )
 out = (
     docs.withColumn("sc", sc_udf(F.col("text")))

@@ -15,7 +15,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from langid_py_spark.core.corpora import training_corpus  # noqa: E402
-from langid_py_spark.core.lm import train_lm  # noqa: E402
+from langid_py_spark.core.lm import MultiTrigramLM, train_lm  # noqa: E402
 from langid_py_spark.core.trainer import train_fallback_model  # noqa: E402
 
 
@@ -32,9 +32,28 @@ def main() -> None:
     )
 
     t0 = time.time()
-    lm = train_lm([t for _, t in training_corpus()])
+    corpus = training_corpus()
+    lm = train_lm([t for _, t in corpus])
     lm.save(str(out_dir / "lm.npz"))
     print(f"lm.npz: {len(lm.tri_keys)} trigrams, {time.time() - t0:.1f}s")
+
+    # per-language LMs (CCNet scores each doc with ITS language's LM);
+    # the global LM above rides along as the unknown-lang fallback
+    t0 = time.time()
+    by_lang: dict[str, list[str]] = {}
+    for lang, text in corpus:
+        by_lang.setdefault(lang, []).append(text)
+    multi = MultiTrigramLM(
+        lms={lang: train_lm(texts) for lang, texts in sorted(by_lang.items())},
+        fallback=lm,
+    )
+    multi.save(str(out_dir / "lm_by_lang.npz"))
+    sizes = {lang: len(m.tri_keys) for lang, m in multi.lms.items()}
+    print(
+        f"lm_by_lang.npz: {len(multi.lms)} langs, "
+        f"tri tables {min(sizes.values())}-{max(sizes.values())}, "
+        f"{time.time() - t0:.1f}s"
+    )
 
 
 if __name__ == "__main__":

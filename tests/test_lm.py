@@ -32,3 +32,50 @@ def test_train_roundtrip(tmp_path):
     a = lm.perplexity_batch(["hello world"])
     b = lm2.perplexity_batch(["hello world"])
     np.testing.assert_allclose(a, b)
+
+
+def test_multi_lm_selects_per_language():
+    """Per-lang LM (CCNet contract): each doc scored under ITS language's
+    LM must equal that single LM's score exactly; unknown/None langs use
+    the global fallback; a doc in its OWN language scores lower ppl
+    under its own LM than most foreign LMs (that's the point)."""
+    from langid_py_spark.core.lm import MultiTrigramLM
+
+    mlm = MultiTrigramLM.load()
+    assert len(mlm.lms) == 18
+    rng = np.random.RandomState(9)
+    en, de = make_doc(rng, "en", 4), make_doc(rng, "de", 4)
+    texts = [en, de, en, ""]
+    langs = ["en", "de", None, "xx"]
+    got = mlm.perplexity_batch_by_lang(texts, langs)
+    np.testing.assert_array_equal(got[0], mlm.lms["en"].perplexity_batch([en])[0])
+    np.testing.assert_array_equal(got[1], mlm.lms["de"].perplexity_batch([de])[0])
+    np.testing.assert_array_equal(got[2], mlm.fallback.perplexity_batch([en])[0])
+    assert got[3] == 1.0  # empty doc under fallback
+    # own-language LM fits better than a distant one
+    assert mlm.lms["en"].perplexity_batch([en])[0] < mlm.lms["zh"].perplexity_batch([en])[0]
+
+
+def test_multi_lm_batch_independent_and_roundtrip(tmp_path):
+    """Golden-safety: per-doc values must not depend on batch composition
+    (docs are grouped by lang internally — regrouping must not shift a
+    bit), and save/load round-trips bit-exactly."""
+    from langid_py_spark.core.lm import MultiTrigramLM
+
+    mlm = MultiTrigramLM.load()
+    rng = np.random.RandomState(3)
+    texts = [make_doc(rng, l, 2) for l in ("en", "de", "zh", "en", "ru", "fr")]
+    langs = ["en", "de", "zh", "ru", None, "fr"]  # deliberate mismatches too
+    full = mlm.perplexity_batch_by_lang(texts, langs)
+    for cut in (1, 3, 5):
+        parts = np.concatenate(
+            [
+                mlm.perplexity_batch_by_lang(texts[:cut], langs[:cut]),
+                mlm.perplexity_batch_by_lang(texts[cut:], langs[cut:]),
+            ]
+        )
+        np.testing.assert_array_equal(parts, full)
+    p = str(tmp_path / "mlm.npz")
+    mlm.save(p)
+    back = MultiTrigramLM.load(p)
+    np.testing.assert_array_equal(back.perplexity_batch_by_lang(texts, langs), full)

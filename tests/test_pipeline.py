@@ -20,11 +20,14 @@ from langid_py_spark.spark.scrub import python_scrub_oracle
 
 def golden_labels(pdf: pd.DataFrame) -> pd.DataFrame:
     """Single-process oracle: same model + rules + scrub, no Spark."""
+    from langid_py_spark.core.lm import MultiTrigramLM
+
     model = NBModel.load()
-    lm = TrigramLM.load()
+    mlm = MultiTrigramLM.load()
     texts = pdf["text"].fillna("").tolist()
     langs, raw, norm, nbytes = model.classify_batch(texts, max_bytes=C.SCORE_MAX_BYTES)
-    ppl = lm.perplexity_batch(texts, max_bytes=C.SCORE_MAX_BYTES)
+    # per-lang LM keyed by the PREDICTED lang — mirrors the fused scorer
+    ppl = mlm.perplexity_batch_by_lang(texts, list(langs), max_bytes=C.SCORE_MAX_BYTES)
     rules = [python_rule_oracle(t) for t in texts]
     keep = [
         r["keep_heuristic"] and norm[i] >= C.MIN_LANG_CONF and ppl[i] <= C.MAX_PERPLEXITY
@@ -241,10 +244,12 @@ def test_entry_output_full_twin(result, golden, spark, fixture_path):
         .reset_index(drop=True)
     )
     texts = src["text"].fillna("").tolist()
+    from langid_py_spark.core.lm import MultiTrigramLM
+
     model = NBModel.load()
-    lm = TrigramLM.load()
+    mlm = MultiTrigramLM.load()
     langs, raw, norm, nbytes = model.classify_batch(texts, max_bytes=C.SCORE_MAX_BYTES)
-    ppl = lm.perplexity_batch(texts, max_bytes=C.SCORE_MAX_BYTES)
+    ppl = mlm.perplexity_batch_by_lang(texts, list(langs), max_bytes=C.SCORE_MAX_BYTES)
 
     # per-rule booleans (python oracle is the frozen-config twin)
     rules = [python_rule_oracle(t) for t in texts]

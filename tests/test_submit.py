@@ -36,7 +36,7 @@ def test_spark_submit_pyfiles_zip(tmp_path):
             "--py-files",
             str(zip_path),
             "--files",
-            f"{data / 'model.npz'},{data / 'lm.npz'}",
+            f"{data / 'model.npz'},{data / 'lm_by_lang.npz'}",
             str(REPO / "scripts" / "submit_smoke_job.py"),
         ],
         capture_output=True,
