@@ -34,6 +34,20 @@ sys.path.insert(0, str(REPO))
 RUNS = 3
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — this sandbox VM sees
+    intermittent host-side CPU steal (measured: whole-bench 2x swings
+    with byte-identical code), so every bench line reports the steal
+    share DURING the run; a reader comparing rounds should discount
+    lines with high steal_pct rather than chase code regressions."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -70,6 +84,26 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
         run_pipeline(spark, transcripts, out_dir, resume=False)
 
+    # 10k-needle decontamination list, built deterministically from the
+    # corpus itself (substrings => guaranteed hits) + absent canaries;
+    # built OUTSIDE the timed region — a real list is a static artifact
+    import numpy as np
+    import pandas as pd
+
+    from langid_py_spark.operators.contamination import contamination_scan_join
+
+    _docs_pdf = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    _rng = np.random.RandomState(42)
+    _texts = _docs_pdf["text"].fillna("").tolist()
+    _needles = []
+    for _ in range(10_500):
+        t = _texts[_rng.randint(len(_texts))]
+        ln = _rng.randint(30, 80)
+        s = _rng.randint(max(1, len(t) - ln))
+        _needles.append(t[s : s + ln])
+    _needles = list(dict.fromkeys(_needles))[:10_000]
+    _needles += [f"zzz-canary-{i:05d}" for i in range(50)]
+
     operator_benches = {
         "pipeline_full": bench_pipeline,
         "langid_score": lambda: run_noop(
@@ -83,8 +117,21 @@ def main() -> None:
         "cosine_topk": lambda: run_noop(qs["cosine_topk"](spark, sf_dir)),
         "pricing_summary": lambda: run_noop(qs["pricing_summary"](spark, sf_dir)),
         "top_customers": lambda: run_noop(qs["top_customers"](spark, sf_dir)),
+        "contamination_10k": lambda: run_noop(
+            contamination_scan_join(
+                entry_mod._spread(
+                    spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+                ),
+                _needles,
+                k=16,
+            )
+        ),
+        "ccnet_approx": lambda: run_noop(
+            qs["ccnet_ppl_buckets_approx"](spark, sf_dir)
+        ),
     }
 
+    jif0, steal0 = _cpu_jiffies()
     timings: dict[str, float] = {}
     for name, fn in operator_benches.items():
         fn()  # warm (JVM codegen + python workers + page cache)
@@ -95,6 +142,12 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    jif1, steal1 = _cpu_jiffies()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(jif1 - jif0, 1), 2)
+        if jif1 > jif0
+        else None
+    )
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "quality_filter_pipeline_and_operators_median_sec",
@@ -105,6 +158,7 @@ def main() -> None:
         "cpus": cpus,
         "transcript_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["pipeline_full"], 1),
+        "host_cpu_steal_pct": steal_pct,
     }
     print(json.dumps(result))
 
