@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from langid_py_spark import config as C
-from langid_py_spark.operators import contamination, dedup, similarity, textstats
+from langid_py_spark.operators import (
+    contamination,
+    dedup,
+    repetition,
+    similarity,
+    textstats,
+)
 from langid_py_spark.spark.rules import duckdb_rule_sql, rule_columns
 from langid_py_spark.spark.scrub import duckdb_scrub_sql, scrub_expr
 
@@ -254,6 +260,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), F.round(0.5 * len_score + 0.5 - penalty, 6)
     )
     return docs.select("doc_id", score.alias("quality_score"))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021): duplicate-line and
+    top-n-gram statistics per document — ONE Arrow-UDF map, no shuffle
+    (the oracle uses the independent explode+aggregate formulation)."""
+    from langid_py_spark.operators.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "user_top_event": q_user_top_event,
         "sessionize_events": q_sessionize_events,
         "running_totals": q_running_totals,
@@ -712,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             """
         )(duckdb_rule_sql("text")),
+        "repetition_stats": repetition.repetition_stats_oracle_sql("documents"),
         "user_top_event": """
             SELECT user_id, event_type AS top_event_type, n_events FROM (
                 SELECT user_id, event_type, count(*) AS n_events,

@@ -560,3 +560,91 @@ def test_contamination_dense_guard_and_10k_needle_join(spark):
         want = {(did, nd) for did, t in by_doc.items() if nd in t}
         have = {(d, n) for d, n in got_pairs if n == nd}
         assert have == want, nd
+
+
+def test_repetition_stats_matches_naive_and_duckdb(spark):
+    """Gopher repetition stats: the map-only UDF == a naive Python
+    counter == the DuckDB explode+aggregate oracle on hostile docs —
+    duplicate lines, degenerate word loops, empty/null text, unicode,
+    no-newline docs, single word."""
+    import duckdb
+
+    from langid_py_spark.operators.repetition import (
+        repetition_stats,
+        repetition_stats_oracle_sql,
+    )
+
+    rows = [
+        (0, "nav bar\ncontent here\nnav bar\nnav bar\nfooter"),   # dup lines
+        (1, "spam spam spam spam spam"),                          # word loop
+        (2, "a b a b a b a b"),                                   # bigram loop
+        (3, None),
+        (4, ""),
+        (5, "\n\n\n"),                                            # only empties
+        (6, "日本語 テスト 日本語\n日本語 テスト 日本語"),              # unicode dup
+        (7, "word"),                                              # single word
+        (8, "one two three four five six"),                       # no repetition
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    got = (
+        repetition_stats(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # naive twin
+    def naive(t):
+        from collections import Counter
+
+        t = t or ""
+        lines = [l for l in t.split("\n") if l]
+        lc = Counter(lines)
+        n_lines = len(lines)
+        total = sum(len(l) * c for l, c in lc.items())
+        dupc = sum(len(l) * (c - 1) for l, c in lc.items())
+        import re as _re
+
+        words = _re.findall(r"[^\t\n\f\r ]+", t)
+        wc = Counter(words)
+        bg = Counter(
+            words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+        )
+        return (
+            n_lines,
+            round((n_lines - len(lc)) / n_lines, 6) if n_lines else 0.0,
+            round(dupc / total, 6) if total else 0.0,
+            len(words),
+            round(max(wc.values()) / len(words), 6) if words else 0.0,
+            round(max(bg.values()) / (len(words) - 1), 6) if len(words) >= 2 else 0.0,
+        )
+
+    for _, r in got.iterrows():
+        want = naive(pdf.loc[pdf.doc_id == r.doc_id, "text"].iloc[0])
+        have = (
+            r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+            r.n_words, r.top_word_frac, r.top_bigram_frac,
+        )
+        assert tuple(have) == want, (r.doc_id, have, want)
+
+    # spot-check the interesting rows
+    assert got.loc[0, "dup_line_frac"] == 0.4          # 2 of 5 lines repeats
+    assert got.loc[1, "top_word_frac"] == 1.0
+    assert got.loc[2, "top_bigram_frac"] == round(4 / 7, 6)
+    assert got.loc[5, "n_lines"] == 0
+
+    # RE2/DuckDB dialect parity on the SAME hostile docs
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = (
+        con.execute(repetition_stats_oracle_sql("documents"))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in got.columns:
+        assert (got[col].values == duck[col].values).all(), col
+
+    # non-vacuity on the fixture: the small-vocab corpus repeats words
+    fix = repetition_stats(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ).toPandas()
+    assert (fix["top_word_frac"] > 0).mean() > 0.9
