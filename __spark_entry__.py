@@ -30,6 +30,7 @@ from langid_py_spark.operators import (
     contamination,
     dedup,
     repetition,
+    sampling,
     similarity,
     textstats,
 )
@@ -269,6 +270,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from langid_py_spark.operators.repetition import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly min(40, |group|) docs
+    per language in content-hash order (no rand() — training-data
+    lineage requires the same sample on every retry/engine; md5 keeps
+    the oracle engine bit-compatible). The temperature-resampling and
+    Bernoulli variants live in operators/sampling.py with pytest
+    coverage."""
+    from langid_py_spark.operators.sampling import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return balanced_sample(docs, "lang", 40).select("doc_id", "lang", "source")
 
 
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
+        "balanced_sample": q_balanced_sample,
         "user_top_event": q_user_top_event,
         "sessionize_events": q_sessionize_events,
         "running_totals": q_running_totals,
@@ -729,6 +744,9 @@ def oracle_sql() -> dict[str, str]:
             """
         )(duckdb_rule_sql("text")),
         "repetition_stats": repetition.repetition_stats_oracle_sql("documents"),
+        "balanced_sample": sampling.balanced_sample_oracle_sql(
+            "documents", "lang", 40, ["doc_id", "lang", "source"]
+        ),
         "user_top_event": """
             SELECT user_id, event_type AS top_event_type, n_events FROM (
                 SELECT user_id, event_type, count(*) AS n_events,

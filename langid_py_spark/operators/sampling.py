@@ -1,0 +1,166 @@
+"""Deterministic corpus sampling / mixing — the operators between a
+filtered corpus and a training mix.
+
+Training-data pipelines never use rand(): a sample must be REPRODUCIBLE
+across retries, resumable jobs and engines (lineage: "which docs was
+the model trained on" has to have one answer). Every operator here
+derives its randomness from a content hash of the row id + an explicit
+salt, so the same input always yields the same sample — and the driver
+oracle can replay it in DuckDB exactly.
+
+* hash_sample          — Bernoulli-style p-fraction sample: keep rows
+  whose md5(id || salt) hex string compares below a threshold prefix.
+  An EXACT string comparison (no float rounding anywhere), pure
+  codegen'd filter that composes with predicate pushdown. md5 rather
+  than xxhash64 because the oracle engine must compute the identical
+  value (DuckDB's hash() is not xxhash64); md5 is still a cheap
+  per-row expression, and at 10^12 rows this stays a pure map.
+* balanced_sample      — exactly n docs per group (lang/source/...):
+  row_number over (group, hash order) <= n. The standard "equal
+  per-language eval slice" op; one window shuffle on the group key.
+* temperature_sample   — multilingual temperature resampling (Conneau &
+  Lample; alpha < 1 upweights low-resource groups): per-group target
+  counts proportional to n_g^alpha, rescaled to a total budget, then
+  the first target_g docs per group in hash order. Group cardinality is
+  tiny by construction (languages/domains), so targets are computed on
+  a |groups|-row driver pull — the same bounded-dim-side pattern as the
+  IVF centroid fit; everything row-scale stays distributed.
+
+Ordering note: all hash orders tie-break on the id itself, so the
+sample is total-order deterministic even under (astronomically
+unlikely) hash collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_col(id_col: str, salt: str) -> "F.Column":
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "s42"
+) -> DataFrame:
+    """Deterministic ~fraction sample. The threshold is the hex prefix
+    of fraction * 16^6 over the first 6 hex chars — md5 is uniform, so
+    the kept share converges to `fraction` with no float comparison at
+    row scope (pure string <)."""
+    if not 0 <= fraction <= 1:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = format(int(fraction * (1 << 24)), "06x")
+    return df.filter(F.substring(_hash_col(id_col, salt), 1, 6) < F.lit(threshold))
+
+
+def hash_sample_oracle_sql(
+    table: str, fraction: float, id_col: str = "doc_id", salt: str = "s42"
+) -> str:
+    threshold = format(int(fraction * (1 << 24)), "06x")
+    return f"""
+    SELECT * FROM {table}
+    WHERE substring(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, 6)
+          < '{threshold}'
+    """
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> DataFrame:
+    """Exactly min(n_per_group, |group|) rows per group, hash-ordered —
+    a deterministic stratified sample. One window shuffle keyed on the
+    group column; skewed groups cost only their own partition sort."""
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_col(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
+
+
+def balanced_sample_oracle_sql(
+    table: str,
+    group_col: str,
+    n_per_group: int,
+    cols: list[str],
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> str:
+    collist = ", ".join(cols)
+    return f"""
+    SELECT {collist} FROM (
+        SELECT {collist}, row_number() OVER (
+            PARTITION BY {group_col}
+            ORDER BY md5(CAST({id_col} AS VARCHAR) || '{salt}') ASC,
+                     {id_col} ASC
+        ) AS _rk FROM {table}
+    ) WHERE _rk <= {n_per_group}
+    """
+
+
+def temperature_targets(
+    counts: dict[str, int], alpha: float, total: int
+) -> dict[str, int]:
+    """Per-group target sizes ∝ count^alpha, scaled to `total`, floored;
+    leftover budget goes to the largest groups first (deterministic).
+    Pure-Python on the tiny group dim — shared by the operator and its
+    test oracle."""
+    if not counts:
+        return {}
+    weights = {g: c**alpha for g, c in counts.items()}
+    z = sum(weights.values())
+    raw = {g: total * w / z for g, w in weights.items()}
+    out = {g: min(int(raw[g]), counts[g]) for g in counts}
+    # deterministic leftover assignment: largest fractional part, then name
+    leftovers = sorted(
+        counts, key=lambda g: (-(raw[g] - int(raw[g])), g)
+    )
+    budget = total - sum(out.values())
+    for g in leftovers:
+        if budget <= 0:
+            break
+        room = counts[g] - out[g]
+        take = min(room, 1)
+        out[g] += take
+        budget -= take
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    total: int,
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> DataFrame:
+    """Temperature-resampled corpus: per-group quota from
+    temperature_targets over the (tiny) group histogram, rows chosen in
+    deterministic hash order. The histogram collect is |groups| rows —
+    the bounded dim-side pull pattern; the selection itself is one
+    window over the data."""
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    targets = temperature_targets(counts, alpha, total)
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(g, int(t)) for g, t in targets.items()], f"{group_col} string, _target int"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_col(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(tdf), group_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_target"))
+        .drop("_rk", "_target")
+    )

@@ -1,0 +1,86 @@
+"""Deterministic sampling operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from langid_py_spark.operators.sampling import (
+    balanced_sample,
+    hash_sample,
+    temperature_sample,
+    temperature_targets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_fraction_determinism_and_nesting(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(20_000, dtype=np.int64)})
+    )
+    s20 = {r.doc_id for r in hash_sample(docs, 0.2).collect()}
+    s20b = {r.doc_id for r in hash_sample(docs, 0.2).collect()}
+    s50 = {r.doc_id for r in hash_sample(docs, 0.5).collect()}
+    assert s20 == s20b  # deterministic, no RNG state
+    # nested-by-construction: the threshold is a prefix compare, so a
+    # smaller fraction is always a SUBSET of a larger one (same salt) —
+    # exactly what scaling-ablation sampling needs
+    assert s20 <= s50
+    assert abs(len(s20) / 20_000 - 0.2) < 0.02
+    assert abs(len(s50) / 20_000 - 0.5) < 0.02
+    # different salt = independent sample
+    other = {r.doc_id for r in hash_sample(docs, 0.2, salt="x").collect()}
+    assert other != s20
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_balanced_sample_exact_counts(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    group_sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = balanced_sample(docs, "lang", 5).toPandas()
+    got = out.groupby("lang").size().to_dict()
+    assert got == {g: min(5, n) for g, n in group_sizes.items()}
+    # deterministic across invocations
+    out2 = balanced_sample(docs, "lang", 5).toPandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+
+
+def test_temperature_targets_properties():
+    counts = {"en": 8000, "de": 1000, "zh": 125}
+    # alpha=1: proportional; alpha=0 with enough room: uniform
+    t1 = temperature_targets(counts, 1.0, 912)
+    assert sum(t1.values()) == 912
+    assert t1["en"] > t1["de"] > t1["zh"]
+    t0 = temperature_targets(counts, 0.0, 300)
+    assert t0 == {"en": 100, "de": 100, "zh": 100}
+    # alpha=0.5 upweights rare groups relative to proportional
+    th = temperature_targets(counts, 0.5, 912)
+    assert sum(th.values()) == 912
+    assert th["zh"] > t1["zh"] and th["en"] < t1["en"]
+    # capped by group size
+    tc = temperature_targets({"a": 10, "b": 10_000}, 0.5, 5000)
+    assert tc["a"] <= 10
+    assert temperature_targets({}, 0.5, 100) == {}
+
+
+def test_temperature_sample_matches_targets(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = 60
+    want = temperature_targets(counts, 0.5, total)
+    out = temperature_sample(docs, "lang", 0.5, total).toPandas()
+    got = out.groupby("lang").size().to_dict()
+    assert got == {g: t for g, t in want.items() if t > 0}
+    assert len(out) == total
+    out2 = temperature_sample(docs, "lang", 0.5, total).toPandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
