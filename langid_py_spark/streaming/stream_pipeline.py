@@ -163,3 +163,64 @@ def stateful_conversation_vote(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# --------------------------------------- streaming exact dedup
+STATEFUL_DEDUP_OUT = "doc_id long, text_hash string"
+_STATEFUL_DEDUP_STATE = "seen boolean"
+
+
+def stateful_exact_dedup(
+    docs: DataFrame,
+    ttl_minutes: float = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup: emit each distinct text ONCE, on first
+    arrival — the ingestion-side companion of batch exact_dedup_keep
+    (a crawler re-fetching a page must not re-admit it).
+
+    Keyed by md5(text); state is one boolean per live hash, TTL-evicted
+    (bounded state: the window of protection is `ttl_minutes`, after
+    which a re-arrival is admitted again — the batch dedup pass is the
+    backstop, same code as ever). Within the micro-batch that first
+    sees a hash, the survivor is the MIN doc_id of that batch's
+    occurrences (deterministic regardless of arrival order inside the
+    batch); across batches it is first-batch-wins — streaming semantics,
+    documented as different from batch keep-lowest-id.
+
+    Same AvailableNow/ProcessingTimeTimeout non-termination caveat as
+    stateful_conversation_vote (see its docstring): poll the sink and
+    stop() explicitly when draining.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = max(1, int(ttl_minutes * 60 * 1000))
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_time = not state.exists
+        min_id = None
+        for pdf in pdfs:
+            if first_time and len(pdf):
+                m = int(pdf[id_col].min())
+                min_id = m if min_id is None else min(min_id, m)
+        state.update((True,))
+        state.setTimeoutDuration(ttl_ms)
+        if first_time and min_id is not None:
+            yield pd.DataFrame({"doc_id": [min_id], "text_hash": [key[0]]})
+
+    keyed = docs.select(
+        F.col(id_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("text_hash"),
+    )
+    return keyed.groupBy("text_hash").applyInPandasWithState(
+        update,
+        STATEFUL_DEDUP_OUT,
+        _STATEFUL_DEDUP_STATE,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

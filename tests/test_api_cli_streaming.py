@@ -200,3 +200,65 @@ def test_stateful_vote_across_microbatches(spark, tmp_path):
         want[["conv_id", "conv_lang", "conv_lang_weight", "conv_total_weight"]],
         check_dtype=False,
     )
+
+
+def test_stateful_exact_dedup_across_microbatches(spark, tmp_path):
+    """Streaming exact dedup: each distinct text emitted exactly once;
+    within the first batch that sees a hash the survivor is the MIN
+    doc_id; a duplicate arriving in a LATER micro-batch is suppressed
+    by the state store."""
+    import time as _time
+
+    import pandas as pd
+
+    from langid_py_spark.streaming.stream_pipeline import stateful_exact_dedup
+
+    drop1 = pd.DataFrame(
+        {
+            "doc_id": [5, 3, 10, 7],
+            "text": ["alpha", "alpha", "beta", "gamma"],  # intra-batch dup
+        }
+    )
+    drop2 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 9],
+            "text": ["alpha", "delta", "beta"],  # cross-batch dups + new
+        }
+    )
+    src = tmp_path / "drops"
+    src.mkdir()
+    drop1.to_parquet(src / "a.parquet", index=False)
+    drop2.to_parquet(src / "b.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    q = None
+    try:
+        q = (
+            stateful_exact_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("sdedup")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            # drain condition: 'delta' (only in drop2) has been emitted
+            if spark.table("sdedup").count() >= 4:
+                break
+            _time.sleep(0.5)
+        rows = {r.doc_id for r in spark.table("sdedup").collect()}
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    # survivors: alpha -> 3 (min of batch1 dups; batch2's id 1 suppressed),
+    # beta -> 10, gamma -> 7, delta -> 2
+    assert rows == {3, 10, 7, 2}

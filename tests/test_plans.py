@@ -212,3 +212,42 @@ def test_ivf_distributed_fit_iteration_reads_cache_not_files(spark):
         assert plan.count("HashAggregate") >= 2, plan
     finally:
         nv.unpersist()
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables co-bucketed on doc_id must equi-join with ZERO
+    Exchange (the persisted-co-location story for repeated big-big
+    joins at 100 TB); results must equal the plain join's."""
+    from langid_py_spark.spark.bucketed import bucketed_join, write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scores = docs.selectExpr("doc_id", "n_chars * 2 AS score")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            docs.select("doc_id", "lang"), "b_docs", "doc_id", 8,
+            path=str(tmp_path / "b_docs"),
+        )
+        write_bucketed(
+            scores, "b_scores", "doc_id", 8, path=str(tmp_path / "b_scores")
+        )
+        joined = bucketed_join(spark, "b_docs", "b_scores", "doc_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # same rows as the un-bucketed join
+        want = docs.select("doc_id", "lang").join(scores, "doc_id").count()
+        assert joined.count() == want > 0
+        # bucket pruning: an equality filter on the bucket key reads a
+        # subset of buckets. autoBucketedScan drops the bucketed layout
+        # for join-less scans (it sees no exchange to save), so pin it
+        # off for this probe to surface SelectedBucketsCount.
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        pruned = _plan(spark.table("b_docs").filter(F.col("doc_id") == 7))
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        assert "SelectedBucketsCount: 1 out of 8" in pruned, pruned
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_scores")
