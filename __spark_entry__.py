@@ -530,6 +530,45 @@ def q_contamination_scan_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "needle")
 
 
+_NGRAM_N = 3  # word-gram order for the registered overlap query (GPT-3 uses 13; 3 keeps the small-vocab fixture check non-vacuous: 15 cross-doc rows vs 3 self-hits at 5)
+
+
+def _overlap_needles(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Deterministic needles: the first 8 words of docs 0-2 — guaranteed
+    hits, reproducible, and constructible identically in the SQL twin."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = (
+        docs.filter(F.col("doc_id") < 3)
+        .orderBy("doc_id")
+        .select(
+            F.array_join(
+                F.slice(
+                    F.regexp_extract_all(
+                        F.col("text"), F.lit("[^\t\n\f\r ]+"), F.lit(0)
+                    ),
+                    1,
+                    8,
+                ),
+                " ",
+            ).alias("needle")
+        )
+        .collect()
+    )
+    return [r["needle"] for r in rows]
+
+
+def q_ngram_overlap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram-overlap decontamination (query 42): documents
+    sharing any word 5-gram with a needle (evals leak reworded and
+    partially quoted — substring containment misses that). Candidates by
+    rolling-hash fingerprint join, rows by EXACT string verification;
+    the DuckDB twin computes exact string n-grams with list ops — a
+    fully independent path."""
+    docs = _t(spark, sf_dir, "documents")
+    needles = _overlap_needles(spark, sf_dir)
+    return contamination.ngram_overlap_scan(docs, needles, n=_NGRAM_N)
+
+
 def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split (Wenzek 2020): per LANGUAGE, cut the
     LM-perplexity distribution at its terciles — the standard corpus-
@@ -654,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "contamination_scan": q_contamination_scan,
         "contamination_scan_join": q_contamination_scan_join,
+        "ngram_overlap_scan": q_ngram_overlap_scan,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "ccnet_ppl_buckets_approx": q_ccnet_ppl_buckets_approx,
         "media_features": q_media_features,
@@ -844,6 +884,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contamination_scan_join": contamination.contamination_oracle_sql(
             _CONTAMINATION_NEEDLES, "documents"
+        ),
+        "ngram_overlap_scan": contamination.ngram_overlap_oracle_sql(
+            needles_sql=(
+                "SELECT array_to_string("
+                "(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+'))[1:8], ' ') AS needle "
+                "FROM documents WHERE doc_id < 3"
+            ),
+            n=_NGRAM_N,
         ),
         "ccnet_ppl_buckets": _golden_sql("ccnet_ppl_buckets"),
         "ccnet_ppl_buckets_approx": _golden_sql("ccnet_ppl_buckets_approx"),

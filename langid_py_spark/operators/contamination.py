@@ -248,6 +248,171 @@ def contamination_scan_join(
     return result
 
 
+_WORD_CLASS = "[^\t\n\f\r ]+"  # 3-engine-identical tokenizer class
+
+
+def ngram_overlap_scan(
+    df: DataFrame,
+    needles: list[str],
+    n: int = 13,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, needle, n_shared) — documents sharing >= min_shared
+    DISTINCT word n-grams with a needle. The GPT-3/PaLM decontamination
+    semantics (13-gram overlap): evals rarely leak as verbatim
+    substrings — they leak reworded, line-wrapped, or partially quoted,
+    which exact containment (contamination_scan*) misses and n-gram
+    overlap catches.
+
+    Plan: needle word n-gram hashes (computed driver-side with the SAME
+    _rolling_hashes_batch kernel as minhash — word crc32s, k=n) ride the
+    UDF closure as a sorted array; one Arrow pass emits each doc's
+    distinct n-gram hashes that hit the set; candidates broadcast-join
+    the (hash, needle) dim table; an exact string verify recounts the
+    shared grams per (doc, needle) pair so a 64-bit hash collision can
+    only cost a verification, never emit a wrong row. Map + broadcast
+    join + map — no shuffle, same shape as contamination_scan_join.
+
+    Every needle must have >= n words (raises otherwise — shorter
+    needles belong to the containment scans).
+    """
+    if not needles:
+        raise ValueError("empty needle list")
+    if len(set(needles)) != len(needles):
+        raise ValueError("duplicate needles")
+    import re as _re
+    import zlib
+
+    from langid_py_spark.operators.dedup import (
+        _FNV_OFFSET,
+        _FNV_PRIME,
+        _rolling_hashes_batch,
+    )
+
+    word_re = _re.compile(_WORD_CLASS)
+
+    def grams(text: str) -> set:
+        w = word_re.findall(text)
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    def _regex_crcs_batch(texts: "pd.Series") -> tuple:
+        """word crc32s using the SAME 5-char-class tokenizer as the
+        verify step and the SQL twin (str.split differs on \\x0b and
+        unicode spaces — a divergence here would desync candidate
+        generation from verification)."""
+        word_lists = [word_re.findall(t) for t in texts.fillna("")]
+        lens = np.fromiter(
+            (len(w) for w in word_lists), dtype=np.int64, count=len(word_lists)
+        )
+        crcs = np.fromiter(
+            (zlib.crc32(w.encode("utf-8")) for ws in word_lists for w in ws),
+            dtype=np.uint64,
+            count=int(lens.sum()),
+        )
+        return crcs, lens
+
+    for nd in needles:
+        if len(word_re.findall(nd)) < n:
+            raise ValueError(f"needle shorter than {n} words: {nd!r}")
+
+    ncrcs, nlens = _regex_crcs_batch(pd.Series(list(needles)))
+    nh, ncounts = _rolling_hashes_batch(ncrcs, nlens, n, _FNV_PRIME, _FNV_OFFSET)
+    starts = np.concatenate(([0], np.cumsum(ncounts)[:-1]))
+    dim_rows = []
+    for i, nd in enumerate(needles):
+        full = nlens[i] - n + 1  # all full windows (len >= n guaranteed)
+        for h in np.unique(nh[starts[i] : starts[i] + full]):
+            dim_rows.append((int(h.astype(np.int64)), nd))  # int64 view of the uint64 hash
+    hash_sorted = np.unique(np.array([r[0] for r in dim_rows], dtype=np.int64))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _doc_hits(texts: pd.Series) -> pd.Series:
+        B = len(texts)
+        if B == 0:
+            return pd.Series([], dtype=object)
+        crcs, lens = _regex_crcs_batch(texts)
+        h, c = _rolling_hashes_batch(crcs, lens, n, _FNV_PRIME, _FNV_OFFSET)
+        hs = h.astype(np.int64)
+        pos = np.searchsorted(hash_sorted, hs)
+        pos = np.minimum(pos, len(hash_sorted) - 1)
+        hit = hash_sorted[pos] == hs
+        seg = np.concatenate(([0], np.cumsum(c)[:-1]))
+        out = []
+        for i in range(B):
+            full = max(int(lens[i]) - n + 1, 0)  # exclude partial-window hash
+            sl = slice(seg[i], seg[i] + full)
+            out.append(np.unique(hs[sl][hit[sl]]))
+        return pd.Series(out)
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        pd.DataFrame(dim_rows, columns=["ghash", "needle"])
+    )
+    needle_grams = {nd: grams(nd) for nd in needles}
+
+    @pandas_udf(T.LongType())
+    def _verify(texts: pd.Series, ns: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                len(grams(t or "") & needle_grams[nd])
+                for t, nd in zip(texts, ns)
+            ],
+            dtype=np.int64,
+        )
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_text"),
+            F.explode(_doc_hits(F.col(text_col))).alias("ghash"),
+        )
+        .join(F.broadcast(dim), "ghash")
+        .select(F.col(id_col), "needle", "_text")
+        .dropDuplicates([id_col, "needle"])
+        .select(
+            F.col(id_col),
+            "needle",
+            _verify(F.col("_text"), F.col("needle")).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def ngram_overlap_oracle_sql(
+    needles_sql: str, n: int = 13, min_shared: int = 1, table: str = "documents"
+) -> str:
+    """DuckDB twin: exact string n-grams via list slicing (an entirely
+    independent computation path — no hashes). `needles_sql` is a
+    subquery yielding a `needle` column."""
+    w = _WORD_CLASS.replace("\t", "\\t").replace("\n", "\\n").replace("\f", "\\f").replace("\r", "\\r")
+    return f"""
+    WITH needles AS ({needles_sql}),
+    ndg AS (
+        SELECT needle, unnest(list_distinct(list_transform(
+            range(1, greatest(len(regexp_extract_all(needle, '{w}')) - {n - 1}, 0) + 1),
+            i -> array_to_string(
+                (regexp_extract_all(needle, '{w}'))[i : i + {n - 1}], ' ')
+        ))) AS gram
+        FROM needles
+    ),
+    ddg AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(words) - {n - 1}, 0) + 1),
+            i -> array_to_string(words[i : i + {n - 1}], ' ')
+        ))) AS gram
+        FROM (SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '{w}') AS words
+              FROM {table})
+    )
+    SELECT d.doc_id, x.needle, count(*) AS n_shared
+    FROM ddg d JOIN ndg x USING (gram)
+    GROUP BY d.doc_id, x.needle
+    HAVING count(*) >= {min_shared}
+    """
+
+
 def contamination_oracle_sql(needles: list[str], table: str = "documents") -> str:
     """DuckDB containment twin: tiny needle VALUES list cross-checked
     with instr(). Counts are overlap-semantics (AC), not SQL-expressible

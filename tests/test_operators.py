@@ -648,3 +648,32 @@ def test_repetition_stats_matches_naive_and_duckdb(spark):
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ).toPandas()
     assert (fix["top_word_frac"] > 0).mean() > 0.9
+
+
+def test_ngram_overlap_scan(spark):
+    """GPT-3-style n-gram overlap decontamination: catches PARTIAL
+    quotes that substring containment misses; counts DISTINCT shared
+    grams exactly (verify step, not the hash); short needles raise."""
+    from langid_py_spark.operators.contamination import ngram_overlap_scan
+
+    needle = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "prefix text the quick brown fox jumps elsewhere"),  # partial quote
+        (1, "the quick brown fox jumps over the lazy dog and more"),  # full
+        (2, "fox jumps over nothing shared here"),                # < n shared run
+        (3, None),
+        (4, "quick brown fox the quick brown fox jumps"),         # repeated grams
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r.doc_id: r.n_shared
+        for r in ngram_overlap_scan(docs, [needle], n=4).collect()
+    }
+    # doc0 shares 'the quick brown fox' + 'quick brown fox jumps' = 2
+    # doc1 contains the needle: all 6 of its 4-grams
+    # doc2 shares only a 3-word run -> no 4-gram -> absent
+    # doc4 shares the same 2 grams as doc0 (dup occurrences counted once)
+    assert got == {0: 2, 1: 6, 4: 2}, got
+
+    with pytest.raises(ValueError, match="shorter than 13"):
+        ngram_overlap_scan(docs, ["too short"], n=13)
