@@ -72,9 +72,17 @@ def _estimate_scan_tasks(spark: SparkSession, df: DataFrame) -> int | None:
             row_groups += pq.ParquetFile(path).metadata.num_row_groups
     except OSError:
         return None
-    conf = spark.conf
-    max_part = int(conf.get("spark.sql.files.maxPartitionBytes", "134217728b").rstrip("b"))
-    open_cost = int(conf.get("spark.sql.files.openCostInBytes", "4194304b").rstrip("b"))
+    def _bytes_conf(key: str, default: int) -> int:
+        # conf values arrive as "134217728b", "128m", "2m", "1g", ...
+        v = str(spark.conf.get(key, str(default))).strip().lower().removesuffix("b")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}.get(v[-1:], 1)
+        try:
+            return int(float(v[:-1]) * mult) if mult != 1 else int(v)
+        except ValueError:
+            return default
+
+    max_part = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 << 20)
     total = sum(sizes)
     p = spark.sparkContext.defaultParallelism
     max_split = min(max_part, max(open_cost, total // max(p, 1) + 1))

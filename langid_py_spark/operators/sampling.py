@@ -50,6 +50,11 @@ def hash_sample(
     row scope (pure string <)."""
     if not 0 <= fraction <= 1:
         raise ValueError("fraction must be in [0, 1]")
+    if fraction >= 1.0:
+        # 16^6 formats to SEVEN hex chars ('1000000'), and a 6-char hash
+        # prefix compares LOW against it for prefixes >= '1' — fraction
+        # 1.0 would silently drop ~15/16 of the rows. Identity instead.
+        return df
     threshold = format(int(fraction * (1 << 24)), "06x")
     return df.filter(F.substring(_hash_col(id_col, salt), 1, 6) < F.lit(threshold))
 
@@ -146,10 +151,16 @@ def temperature_sample(
     deterministic hash order. The histogram collect is |groups| rows —
     the bounded dim-side pull pattern; the selection itself is one
     window over the data."""
-    counts = {
-        r[group_col]: r["n"]
-        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
-    }
+    MAX_GROUPS = 100_000  # languages/domains — never document ids
+    hist = df.groupBy(group_col).agg(F.count("*").alias("n")).limit(MAX_GROUPS + 1).collect()
+    if len(hist) > MAX_GROUPS:
+        raise ValueError(
+            f"temperature_sample: >{MAX_GROUPS} distinct {group_col} values — "
+            "the group column must be a small categorical (lang/domain), "
+            "not a row-scale key; the target computation is a driver-side "
+            "pull of the group histogram by design."
+        )
+    counts = {r[group_col]: r["n"] for r in hist}
     targets = temperature_targets(counts, alpha, total)
     spark = df.sparkSession
     tdf = spark.createDataFrame(

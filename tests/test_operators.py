@@ -677,3 +677,57 @@ def test_ngram_overlap_scan(spark):
 
     with pytest.raises(ValueError, match="shorter than 13"):
         ngram_overlap_scan(docs, ["too short"], n=13)
+
+
+def test_ngram_overlap_scan_10k_needles(spark):
+    """The overlap scan must carry a real decontamination list: 10k
+    needles (8-word sequences sampled from the corpus + absent
+    canaries), one pass, correct on a sampled needle subset vs exact
+    python n-gram sets."""
+    import re as _re
+    import time
+
+    from langid_py_spark.operators.contamination import ngram_overlap_scan
+
+    docs_pdf = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    word_re = _re.compile(r"[^\t\n\f\r ]+")
+    rng = np.random.RandomState(7)
+    texts = docs_pdf["text"].fillna("").tolist()
+    needles = []
+    for _ in range(16_000):
+        words = word_re.findall(texts[rng.randint(len(texts))])
+        if len(words) < 8:
+            continue
+        s = rng.randint(len(words) - 7)
+        needles.append(" ".join(words[s : s + 8]))
+    needles = list(dict.fromkeys(needles))[:10_000]
+    needles += [f"z{i:04d} " * 8 for i in range(20)]  # absent 8-word canaries
+    assert len(needles) >= 10_000
+
+    n = 5
+    docs = spark.createDataFrame(docs_pdf)
+    t0 = time.time()
+    got = ngram_overlap_scan(docs, needles, n=n).collect()
+    wall = time.time() - t0
+    assert wall < 180, wall
+    got_map = {(r.doc_id, r.needle): r.n_shared for r in got}
+    assert len(got_map) >= 10_000  # each sampled needle hits its source doc
+    assert not any(nd.startswith("z0") for _, nd in got_map)
+
+    def grams(t):
+        w = word_re.findall(t)
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    doc_grams = {d: grams(t) for d, t in zip(docs_pdf["doc_id"], texts)}
+    for i in rng.choice(len(needles) - 20, size=100, replace=False):
+        nd = needles[int(i)]
+        ng = grams(nd)
+        want = {
+            (d, nd): len(doc_grams[d] & ng)
+            for d in doc_grams
+            if doc_grams[d] & ng
+        }
+        have = {k: v for k, v in got_map.items() if k[1] == nd}
+        assert have == want, nd

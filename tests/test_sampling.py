@@ -36,6 +36,10 @@ def test_hash_sample_fraction_determinism_and_nesting(spark):
     assert other != s20
     with pytest.raises(ValueError):
         hash_sample(docs, 1.5)
+    # boundary fractions: 1.0 is the identity (the naive 7-hex-char
+    # threshold would drop every hash prefix >= '1'); 0.0 is empty
+    assert hash_sample(docs, 1.0).count() == 20_000
+    assert hash_sample(docs, 0.0).count() == 0
 
 
 def test_balanced_sample_exact_counts(spark):
