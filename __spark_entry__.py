@@ -488,6 +488,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the near-dup story: survivors after
+    dropping every non-representative member of every near-dup cluster
+    (same pair-source union as dedup_clusters). Oracle: documents
+    anti-joined with the union-find golden's non-reps."""
+    from langid_py_spark.operators.cluster import near_dedup_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .unionByName(
+            dedup.simhash_candidates(docs, max_hamming=3).select("id_a", "id_b")
+        )
+        .unionByName(
+            dedup.winnow_pairs(docs, min_shared=2, k=20, window=12).select(
+                "id_a", "id_b"
+            )
+        )
+    )
+    return near_dedup_keep(docs, pairs).select("doc_id")
+
+
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the second scale path beside SRP-LSH): spherical-k-means
     coarse quantizer trained on a bounded deterministic sample, candidates
@@ -698,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann_topk,
         "srp_dup_pairs": q_srp_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "near_dedup_keep": q_near_dedup_keep,
         "ivf_ann_topk": q_ivf_ann_topk,
         "contamination_scan": q_contamination_scan,
         "contamination_scan_join": q_contamination_scan_join,
@@ -886,6 +910,14 @@ def oracle_sql() -> dict[str, str]:
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
         "srp_dup_pairs": _golden_sql("srp_dup_pairs"),
         "dedup_clusters": _golden_sql("dedup_clusters"),
+        "near_dedup_keep": f"""
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN (
+                SELECT doc_id FROM ({_golden_sql("dedup_clusters")})
+                WHERE NOT is_rep
+            ) drop_list ON d.doc_id = drop_list.doc_id
+            WHERE drop_list.doc_id IS NULL
+        """,
         "ivf_ann_topk": _golden_sql("ivf_ann_topk"),
         "contamination_scan": contamination.contamination_oracle_sql(
             _CONTAMINATION_NEEDLES, "documents"

@@ -317,6 +317,17 @@ def ngram_overlap_scan(
         if len(word_re.findall(nd)) < n:
             raise ValueError(f"needle shorter than {n} words: {nd!r}")
 
+    total_grams = sum(len(word_re.findall(nd)) - n + 1 for nd in needles)
+    if total_grams > 5_000_000:
+        # the (gram-hash, needle) dim table is built driver-side; ~5M
+        # rows (~10^5 needles of eval-prompt length) is the honest bound
+        # of that pattern — beyond it, build the needle gram table as a
+        # distributed DF (same downstream join) instead of a closure.
+        raise ValueError(
+            f"needle list expands to {total_grams} n-grams; build the "
+            "needle-gram dim table distributed above ~5M grams"
+        )
+
     ncrcs, nlens = _regex_crcs_batch(pd.Series(list(needles)))
     nh, ncounts = _rolling_hashes_batch(ncrcs, nlens, n, _FNV_PRIME, _FNV_OFFSET)
     starts = np.concatenate(([0], np.cumsum(ncounts)[:-1]))
