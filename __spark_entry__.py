@@ -402,6 +402,31 @@ def q_union_distinct_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family (CUBE): per-(lang, source) doc counts with
+    all rollup margins in ONE pass — Spark expands the grouping sets
+    map-side, so the corpus is scanned once however many margins are
+    requested (vs one job per breakdown). NULL margin keys are coalesced
+    to '(all)' and the grouping bitmask is emitted explicitly so the
+    oracle comparison is unambiguous."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id("lang", "source").cast("long").alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "gid",
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 def q_lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-metrics shape (A7): per (lang, source) doc counts + size."""
     return (
@@ -712,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "lang_histogram": q_lang_histogram,
+        "lang_source_cube": q_lang_source_cube,
         # UDF-backed (golden-parquet oracles; numpy-oracle parity in pytest)
         "langid_documents": q_langid_documents,
         "perplexity_documents": q_perplexity_documents,
@@ -898,6 +924,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang, source
+        """,
+        "lang_source_cube": """
+            SELECT CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+                   coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY CUBE (lang, source)
         """,
         # UDF-scored queries: golden-parquet oracles (deterministic expected
         # outputs, pre-computed without Spark — scripts/make_golden.py)

@@ -272,8 +272,10 @@ def ngram_overlap_scan(
     distinct n-gram hashes that hit the set; candidates broadcast-join
     the (hash, needle) dim table; an exact string verify recounts the
     shared grams per (doc, needle) pair so a 64-bit hash collision can
-    only cost a verification, never emit a wrong row. Map + broadcast
-    join + map — no shuffle, same shape as contamination_scan_join.
+    only cost a verification, never emit a wrong row. The only shuffle
+    is the CANDIDATE-scale (doc, needle) dedup before verification —
+    corpus-scale work is map + broadcast join, same shape as
+    contamination_scan_join.
 
     Every needle must have >= n words (raises otherwise — shorter
     needles belong to the containment scans).

@@ -251,3 +251,38 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_scores")
+
+
+def test_decontamination_scan_plans(spark):
+    """Both large-list decontamination paths: corpus-scale work must be
+    map + BROADCAST hash join only — no cartesian, no nested loop, no
+    sort-merge (which would shuffle the corpus side)."""
+    from langid_py_spark.operators.contamination import (
+        contamination_scan_join,
+        ngram_overlap_scan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p1 = _plan(contamination_scan_join(docs, ["the quick brown", "vector scan"], k=4))
+    n1 = _plan(
+        ngram_overlap_scan(docs, ["one two three four five six seven eight"], n=4)
+    )
+    for plan in (p1, n1):
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+    # the containment path has NO shuffle (its only Exchange is the
+    # BroadcastExchange of the tiny needle dim); the overlap path's only
+    # shuffle is the candidate-scale dedup
+    assert "Exchange hashpartitioning" not in p1, p1
+    assert p1.count("SortMergeJoin") == 0 and n1.count("SortMergeJoin") == 0
+
+
+def test_cube_expands_in_one_pass(spark):
+    """The grouping-sets query must plan as ONE scan + Expand — not one
+    job per margin."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["lang_source_cube"](spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan
