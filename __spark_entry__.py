@@ -625,6 +625,34 @@ def q_ngram_overlap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination.ngram_overlap_scan(docs, needles, n=_NGRAM_N)
 
 
+def q_ngram_overlap_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED n-gram-overlap path (needles as a DataFrame, gram
+    table computed distributed, ids-only equi-join — the 10^6-needle
+    shape where the closure path's driver-side dim build would not fit).
+    Same needles and SQL oracle as ngram_overlap_scan, so the driver
+    pins both paths to identical results."""
+    docs = _t(spark, sf_dir, "documents")
+    needles_df = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("needle_id"),
+            F.array_join(
+                F.slice(
+                    F.regexp_extract_all(
+                        F.col("text"), F.lit("[^\t\n\f\r ]+"), F.lit(0)
+                    ),
+                    1,
+                    8,
+                ),
+                " ",
+            ).alias("needle"),
+        )
+    )
+    return contamination.ngram_overlap_scan_distributed(
+        docs, needles_df, n=_NGRAM_N
+    )
+
+
 def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail split (Wenzek 2020): per LANGUAGE, cut the
     LM-perplexity distribution at its terciles — the standard corpus-
@@ -752,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scan": q_contamination_scan,
         "contamination_scan_join": q_contamination_scan_join,
         "ngram_overlap_scan": q_ngram_overlap_scan,
+        "ngram_overlap_dist": q_ngram_overlap_dist,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "ccnet_ppl_buckets_approx": q_ccnet_ppl_buckets_approx,
         "media_features": q_media_features,
@@ -958,6 +987,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contamination_scan_join": contamination.contamination_oracle_sql(
             _CONTAMINATION_NEEDLES, "documents"
+        ),
+        "ngram_overlap_dist": contamination.ngram_overlap_oracle_sql(
+            needles_sql=(
+                "SELECT array_to_string("
+                "(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+'))[1:8], ' ') AS needle "
+                "FROM documents WHERE doc_id < 3"
+            ),
+            n=_NGRAM_N,
         ),
         "ngram_overlap_scan": contamination.ngram_overlap_oracle_sql(
             needles_sql=(

@@ -393,6 +393,120 @@ def ngram_overlap_scan(
     )
 
 
+def ngram_overlap_scan_distributed(
+    df: DataFrame,
+    needles_df: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    needle_id_col: str = "needle_id",
+    needle_text_col: str = "needle",
+) -> DataFrame:
+    """(doc_id, needle, n_shared) like ngram_overlap_scan, for needle
+    lists too large for a driver-side dim build (the closure path's
+    ~5M-gram guard): the needle set arrives as a DATAFRAME and its gram
+    table is computed distributed.
+
+    Plan (the 10^6-needle shape):
+    1. needle grams: UDF → explode → slim (needle_id, ghash);
+    2. ids-only equi-join of doc grams × needle grams on ghash →
+       distinct (doc_id, needle_id). When the needle side is broadcast-
+       sized Catalyst broadcasts it (doc grams never shuffle); when both
+       sides are big it is a sort-merge/shuffle join and Spark's runtime
+       Bloom-filter join pruning
+       (spark.sql.optimizer.runtime.bloomFilter.enabled, default on
+       since 3.5) injects a probe-side bloom built from the needle side
+       — the optimizer's own version of the closure path's hash-set
+       prefilter, which is exactly why this function does not hand-roll
+       one (bloom_filter_agg is not a public SQL routine);
+    3. texts re-fetched BY ID (the minhash slim-join pattern; AQE picks
+       broadcast vs shuffle per side) → exact per-pair verification,
+       identical to the closure path: a hash collision only costs a
+       verify, never a wrong row.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    import zlib
+
+    from langid_py_spark.operators.dedup import (
+        _FNV_OFFSET,
+        _FNV_PRIME,
+        _rolling_hashes_batch,
+    )
+
+    word_re = __import__("re").compile(_WORD_CLASS)
+
+    def grams(text: str) -> set:
+        w = word_re.findall(text)
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _gram_hashes(texts: pd.Series) -> pd.Series:
+        B = len(texts)
+        if B == 0:
+            return pd.Series([], dtype=object)
+        word_lists = [word_re.findall(t) for t in texts.fillna("")]
+        lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64, count=B)
+        crcs = np.fromiter(
+            (zlib.crc32(w.encode("utf-8")) for ws in word_lists for w in ws),
+            dtype=np.uint64,
+            count=int(lens.sum()),
+        )
+        h, c = _rolling_hashes_batch(crcs, lens, n, _FNV_PRIME, _FNV_OFFSET)
+        hs = h.astype(np.int64)
+        seg = np.concatenate(([0], np.cumsum(c)[:-1]))
+        out = []
+        for i in range(B):
+            full = max(int(lens[i]) - n + 1, 0)
+            out.append(np.unique(hs[seg[i] : seg[i] + full]))
+        return pd.Series(out)
+
+    short = needles_df.filter(
+        F.size(F.regexp_extract_all(F.col(needle_text_col), F.lit(_WORD_CLASS), F.lit(0)))
+        < n
+    ).count()
+    if short:
+        raise ValueError(f"{short} needles shorter than {n} words")
+
+    n_grams = needles_df.select(
+        F.col(needle_id_col).alias("nid"),
+        F.explode(_gram_hashes(F.col(needle_text_col))).alias("ghash"),
+    )
+    d_grams = df.select(
+        F.col(id_col),
+        F.explode(_gram_hashes(F.col(text_col))).alias("ghash"),
+    )
+    cand = (
+        d_grams.join(n_grams, "ghash")
+        .select(id_col, "nid")
+        .dropDuplicates([id_col, "nid"])
+    )
+    docs_txt = df.select(F.col(id_col), F.col(text_col).alias("_dtext"))
+    needles_txt = needles_df.select(
+        F.col(needle_id_col).alias("nid"),
+        F.col(needle_text_col).alias("needle"),
+    )
+
+    @pandas_udf(T.LongType())
+    def _verify_pair(ts: pd.Series, ns: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(grams(t or "") & grams(nd)) for t, nd in zip(ts, ns)],
+            dtype=np.int64,
+        )
+
+    return (
+        cand.join(docs_txt, id_col)
+        .join(needles_txt, "nid")
+        .select(
+            F.col(id_col),
+            "needle",
+            _verify_pair(F.col("_dtext"), F.col("needle")).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_overlap_oracle_sql(
     needles_sql: str, n: int = 13, min_shared: int = 1, table: str = "documents"
 ) -> str:

@@ -731,3 +731,42 @@ def test_ngram_overlap_scan_10k_needles(spark):
         }
         have = {k: v for k, v in got_map.items() if k[1] == nd}
         assert have == want, nd
+
+
+def test_ngram_overlap_distributed_matches_closure(spark):
+    """The distributed needle path (needles as a DataFrame, gram table
+    computed distributed, ids-only equi-join) must emit exactly the
+    closure path's rows on the adversarial cases — and the short-needle
+    guard runs distributed too."""
+    from langid_py_spark.operators.contamination import (
+        ngram_overlap_scan,
+        ngram_overlap_scan_distributed,
+    )
+
+    needle = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "prefix text the quick brown fox jumps elsewhere"),
+        (1, "the quick brown fox jumps over the lazy dog and more"),
+        (2, "fox jumps over nothing shared here"),
+        (3, None),
+        (4, "quick brown fox the quick brown fox jumps"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ndf = spark.createDataFrame(
+        pd.DataFrame({"needle_id": [0], "needle": [needle]})
+    )
+    closure = {
+        (r.doc_id, r.needle, r.n_shared)
+        for r in ngram_overlap_scan(docs, [needle], n=4).collect()
+    }
+    dist = {
+        (r.doc_id, r.needle, r.n_shared)
+        for r in ngram_overlap_scan_distributed(docs, ndf, n=4).collect()
+    }
+    assert dist == closure and len(dist) == 3
+
+    short = spark.createDataFrame(
+        pd.DataFrame({"needle_id": [0], "needle": ["too short"]})
+    )
+    with pytest.raises(ValueError, match="shorter than 13"):
+        ngram_overlap_scan_distributed(docs, short, n=13)
