@@ -70,7 +70,10 @@ def _estimate_scan_tasks(spark: SparkSession, df: DataFrame) -> int | None:
             path = u.path
             sizes.append(os.stat(path).st_size)
             row_groups += pq.ParquetFile(path).metadata.num_row_groups
-    except OSError:
+    except Exception:
+        # advisory-only helper: a corrupt footer (pyarrow ArrowInvalid),
+        # permission error, or anything else degrades to "plenty of
+        # splits" rather than crashing the query (ADVICE r04)
         return None
     def _bytes_conf(key: str, default: int) -> int:
         # conf values arrive as "134217728b", "128m", "2m", "1g", ...
@@ -615,8 +618,10 @@ def _overlap_needles(spark: SparkSession, sf_dir: str) -> list[str]:
 
 def q_ngram_overlap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style n-gram-overlap decontamination (query 42): documents
-    sharing any word 5-gram with a needle (evals leak reworded and
-    partially quoted — substring containment misses that). Candidates by
+    sharing any word n-gram (n=_NGRAM_N — 3 at fixture scale, see the
+    constant's comment; GPT-3 production uses 13) with a needle (evals
+    leak reworded and partially quoted — substring containment misses
+    that). Candidates by
     rolling-hash fingerprint join, rows by EXACT string verification;
     the DuckDB twin computes exact string n-grams with list ops — a
     fully independent path."""

@@ -170,7 +170,26 @@ class MultiTrigramLM:
     @classmethod
     def load(cls, path: str = DEFAULT_MULTI_LM_PATH) -> "MultiTrigramLM":
         z = np.load(path, allow_pickle=False)
+        if not any("::" in k for k in z.files):
+            # A flat TrigramLM npz (tri_keys/bi_keys/...) is the LEGACY
+            # global-LM artifact; loading it here would die with an
+            # opaque KeyError on 'lang::field' (ADVICE r04). Promote it
+            # to a MultiTrigramLM with zero per-lang tables instead —
+            # every doc then scores under the global fallback, which is
+            # exactly the legacy semantics the caller asked for.
+            if "tri_keys" in z.files:
+                return cls(lms={}, fallback=TrigramLM.load(path))
+            raise ValueError(
+                f"{path} is neither a MultiTrigramLM npz ('lang::field' "
+                "keys) nor a flat TrigramLM npz (tri_keys/bi_keys/...): "
+                f"found keys {sorted(z.files)[:5]}..."
+            )
         langs = sorted({k.split("::", 1)[0] for k in z.files})
+        if _GLOBAL_KEY not in langs:
+            raise ValueError(
+                f"{path} has per-lang keys but no '{_GLOBAL_KEY}' fallback "
+                "tables — not a valid MultiTrigramLM artifact"
+            )
         lms = {
             lang: TrigramLM(
                 tri_keys=z[f"{lang}::tri_keys"],

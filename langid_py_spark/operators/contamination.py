@@ -71,6 +71,8 @@ def contamination_scan(
         raise ValueError("empty needle list")
     if len(set(needles)) != len(needles):
         raise ValueError("duplicate needles")
+    if any(not n for n in needles):
+        raise ValueError("zero-length needle (matches everywhere)")
     total = sum(len(n.encode("utf-8", "surrogatepass")) for n in needles)
     if total > max_total_needle_bytes:
         raise ValueError(
@@ -150,6 +152,11 @@ def contamination_scan_join(
         raise ValueError("empty needle list")
     if len(set(needles)) != len(needles):
         raise ValueError("duplicate needles")
+    if any(not n for n in needles):
+        # an empty needle would make k = min(16, 0) = 0 and degenerate
+        # the rolling-hash window into an every-position candidate
+        # explosion instead of a clear error (ADVICE r04)
+        raise ValueError("zero-length needle (matches everywhere)")
     from langid_py_spark.operators.dedup import (
         _FNV_OFFSET,
         _FNV_PRIME,
@@ -375,15 +382,23 @@ def ngram_overlap_scan(
             dtype=np.int64,
         )
 
-    return (
+    # ids ONLY through the candidate dedup shuffle (VERDICT r04: the
+    # previous shape replicated each contaminated doc's full text once
+    # per matching gram until the dropDuplicates); texts are re-joined
+    # by id afterward — the same slim-join pattern as minhash and the
+    # distributed twin below. AQE broadcasts the (tiny) candidate side.
+    cand_ids = (
         df.select(
             F.col(id_col),
-            F.col(text_col).alias("_text"),
             F.explode(_doc_hits(F.col(text_col))).alias("ghash"),
         )
         .join(F.broadcast(dim), "ghash")
-        .select(F.col(id_col), "needle", "_text")
+        .select(F.col(id_col), "needle")
         .dropDuplicates([id_col, "needle"])
+    )
+    docs_txt = df.select(F.col(id_col), F.col(text_col).alias("_text"))
+    return (
+        cand_ids.join(docs_txt, id_col)
         .select(
             F.col(id_col),
             "needle",

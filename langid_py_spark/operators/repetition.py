@@ -96,11 +96,90 @@ def _doc_stats(t: str) -> tuple:
     )
 
 
+def _batch_stats(texts: list) -> pd.DataFrame:
+    """Batched twin of _doc_stats over the whole Arrow batch (VERDICT
+    r04: the per-row loop was the one bulk-map operator off the repo's
+    concat-buffer discipline). Tokenization stays per-doc (str.split /
+    findall are per-string by nature) but ALL counting is batch-level:
+    one pd.factorize + np.unique per feature family, with (doc, code)
+    composite integer keys — the perplexity_batch pattern. Every count
+    is the same integer and every fraction the same single IEEE division
+    as _doc_stats, so outputs are bit-identical (property-tested)."""
+    B = len(texts)
+    line_lists = [[l for l in t.split("\n") if l] for t in texts]
+    word_lists = [_WORD_RE.findall(t) for t in texts]
+    n_lines = np.fromiter((len(x) for x in line_lists), np.int64, count=B)
+    n_words = np.fromiter((len(x) for x in word_lists), np.int64, count=B)
+
+    dup_line_frac = np.zeros(B)
+    dup_line_char_frac = np.zeros(B)
+    flat_lines = [l for ls in line_lists for l in ls]
+    if flat_lines:
+        codes, uniq = pd.factorize(np.array(flat_lines, dtype=object))
+        L = len(uniq)
+        doc_of = np.repeat(np.arange(B), n_lines)
+        ukey, cnt = np.unique(doc_of * L + codes, return_counts=True)
+        udoc, ucode = ukey // L, ukey % L
+        lens_by_code = np.fromiter((len(u) for u in uniq), np.int64, count=L)
+        ulen = lens_by_code[ucode]
+        n_distinct = np.bincount(udoc, minlength=B)
+        # integer sums via float64 bincount weights — exact below 2^53
+        total_chars = np.bincount(
+            udoc, weights=(ulen * cnt).astype(np.float64), minlength=B
+        ).astype(np.int64)
+        dup_chars = np.bincount(
+            udoc, weights=(ulen * (cnt - 1)).astype(np.float64), minlength=B
+        ).astype(np.int64)
+        nz = n_lines > 0
+        dup_line_frac[nz] = (n_lines[nz] - n_distinct[nz]) / n_lines[nz]
+        cz = total_chars > 0
+        dup_line_char_frac[cz] = dup_chars[cz] / total_chars[cz]
+
+    top_word_frac = np.zeros(B)
+    top_bigram_frac = np.zeros(B)
+    flat_words = [w for ws in word_lists for w in ws]
+    if flat_words:
+        codes, uniq = pd.factorize(np.array(flat_words, dtype=object))
+        W = len(uniq)
+        doc_of = np.repeat(np.arange(B), n_words)
+        ukey, cnt = np.unique(doc_of * W + codes, return_counts=True)
+        top = np.zeros(B, np.int64)
+        np.maximum.at(top, ukey // W, cnt)
+        nzw = n_words > 0
+        top_word_frac[nzw] = top[nzw] / n_words[nzw]
+
+        # bigrams: adjacent same-doc code pairs. Words contain no space
+        # (the class excludes it), so 'w1 + " " + w2' is injective over
+        # code pairs — counting pairs == counting bigram strings. The
+        # pair key is re-factorized before mixing in the doc id to keep
+        # the composite key overflow-safe at any batch vocabulary.
+        same_doc = doc_of[:-1] == doc_of[1:]
+        if same_doc.any():
+            pair_key = codes[:-1][same_doc].astype(np.int64) * W + codes[1:][same_doc]
+            d = doc_of[:-1][same_doc]
+            pcodes, puniq = pd.factorize(pair_key)
+            ukey2, cnt2 = np.unique(d * len(puniq) + pcodes, return_counts=True)
+            topb = np.zeros(B, np.int64)
+            np.maximum.at(topb, ukey2 // len(puniq), cnt2)
+            m = n_words >= 2
+            top_bigram_frac[m] = topb[m] / (n_words[m] - 1)
+
+    return pd.DataFrame(
+        {
+            "n_lines": n_lines,
+            "dup_line_frac": dup_line_frac,
+            "dup_line_char_frac": dup_line_char_frac,
+            "n_words": n_words,
+            "top_word_frac": top_word_frac,
+            "top_bigram_frac": top_bigram_frac,
+        }
+    )
+
+
 def repetition_stats_udf():
     @pandas_udf(_SCHEMA)
     def _stats(texts: pd.Series) -> pd.DataFrame:
-        rows = [_doc_stats(t) for t in texts.fillna("")]
-        return pd.DataFrame(rows, columns=[f.name for f in _SCHEMA.fields])
+        return _batch_stats(texts.fillna("").tolist())
 
     return _stats
 

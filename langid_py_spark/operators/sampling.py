@@ -123,18 +123,27 @@ def temperature_targets(
     z = sum(weights.values())
     raw = {g: total * w / z for g, w in weights.items()}
     out = {g: min(int(raw[g]), counts[g]) for g in counts}
-    # deterministic leftover assignment: largest fractional part, then name
+    # Deterministic leftover assignment: largest fractional part, then
+    # name; LOOP until the budget is spent or every group is full —
+    # capped groups (quota == group size) free budget that must flow to
+    # the uncapped ones, so a single +1 pass under-fills `total`
+    # (ADVICE r04). Each full sweep assigns >= 1 row or breaks, so the
+    # loop is bounded by total iterations overall.
     leftovers = sorted(
         counts, key=lambda g: (-(raw[g] - int(raw[g])), g)
     )
     budget = total - sum(out.values())
-    for g in leftovers:
-        if budget <= 0:
+    while budget > 0:
+        assigned = 0
+        for g in leftovers:
+            if budget <= 0:
+                break
+            if counts[g] - out[g] > 0:
+                out[g] += 1
+                budget -= 1
+                assigned += 1
+        if assigned == 0:  # every group full: total > sum(counts)
             break
-        room = counts[g] - out[g]
-        take = min(room, 1)
-        out[g] += take
-        budget -= take
     return out
 
 

@@ -79,3 +79,37 @@ def test_multi_lm_batch_independent_and_roundtrip(tmp_path):
     mlm.save(p)
     back = MultiTrigramLM.load(p)
     np.testing.assert_array_equal(back.perplexity_batch_by_lang(texts, langs), full)
+
+
+def test_multi_lm_load_detects_flat_npz(tmp_path):
+    """A legacy flat TrigramLM npz given to MultiTrigramLM.load must NOT
+    die with an opaque 'lang::field' KeyError (ADVICE r04): it loads as
+    an all-fallback MultiTrigramLM with identical scores; junk npz files
+    raise a descriptive ValueError."""
+    import pytest
+
+    from langid_py_spark.core.lm import MultiTrigramLM
+
+    lm = train_lm(["hello world hello world", "the quick brown fox"] * 3, min_count=1)
+    p = str(tmp_path / "flat.npz")
+    lm.save(p)
+    mlm = MultiTrigramLM.load(p)
+    assert mlm.lms == {}
+    texts = ["hello world", "zzz"]
+    np.testing.assert_array_equal(
+        mlm.perplexity_batch_by_lang(texts, ["en", None]),
+        lm.perplexity_batch(texts),
+    )
+    junk = str(tmp_path / "junk.npz")
+    np.savez(junk, foo=np.arange(3))
+    with pytest.raises(ValueError, match="neither"):
+        MultiTrigramLM.load(junk)
+    # per-lang keys but no __global__ fallback: also a clear error
+    partial = str(tmp_path / "partial.npz")
+    np.savez(
+        partial,
+        **{f"en::{f}": getattr(lm, f)
+           for f in ("tri_keys", "tri_logp", "bi_keys", "bi_logp", "uni_logp")},
+    )
+    with pytest.raises(ValueError, match="fallback"):
+        MultiTrigramLM.load(partial)

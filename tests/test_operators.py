@@ -562,6 +562,23 @@ def test_contamination_dense_guard_and_10k_needle_join(spark):
         assert have == want, nd
 
 
+def test_contamination_rejects_empty_needles(spark):
+    """A zero-length needle must raise loudly in BOTH paths (ADVICE r04:
+    in the join path it would make k=0 and degenerate the rolling-hash
+    window into an every-position candidate explosion)."""
+    from langid_py_spark.operators.contamination import (
+        contamination_scan,
+        contamination_scan_join,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["some text"]})
+    )
+    for fn in (contamination_scan, contamination_scan_join):
+        with pytest.raises(ValueError, match="zero-length"):
+            fn(docs, ["ok", ""])
+
+
 def test_repetition_stats_matches_naive_and_duckdb(spark):
     """Gopher repetition stats: the map-only UDF == a naive Python
     counter == the DuckDB explode+aggregate oracle on hostile docs —
@@ -648,6 +665,53 @@ def test_repetition_stats_matches_naive_and_duckdb(spark):
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ).toPandas()
     assert (fix["top_word_frac"] > 0).mean() > 0.9
+
+
+def test_repetition_batch_kernel_bit_identical():
+    """The batched Arrow kernel (_batch_stats) must be BIT-identical to
+    the per-doc reference (_doc_stats) — same integer counts, same
+    single IEEE division — at every batch slicing (goldens depend on
+    batch-size independence). Hostile docs + randomized corpora."""
+    import random
+
+    from langid_py_spark.operators.repetition import _batch_stats, _doc_stats
+
+    hostile = [
+        "nav bar\ncontent here\nnav bar\nnav bar\nfooter",
+        "spam spam spam spam spam",
+        "a b a b a b a b",
+        "",
+        "\n\n\n",
+        "日本語 テスト 日本語\n日本語 テスト 日本語",
+        "word",
+        "one two three four five six",
+        "x\vy z\ttab",  # \v is NOT a separator in the 5-char class
+        "line\n" * 50,
+    ]
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "x", "1,2", "日本", "--"]
+    randoms = [
+        "\n".join(
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+            for _ in range(rng.randint(0, 8))
+        )
+        for _ in range(60)
+    ]
+    texts = hostile + randoms
+    want = [_doc_stats(t) for t in texts]
+    cols = [
+        "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "n_words", "top_word_frac", "top_bigram_frac",
+    ]
+    for size in (1, 3, len(texts)):
+        for start in range(0, len(texts), size):
+            chunk = texts[start : start + size]
+            got = _batch_stats(chunk)
+            for i, t in enumerate(chunk):
+                w = want[start + i]
+                for j, c in enumerate(cols):
+                    # exact equality: integers AND raw IEEE doubles
+                    assert got[c].iloc[i] == w[j], (t[:40], c, got[c].iloc[i], w[j])
 
 
 def test_ngram_overlap_scan(spark):

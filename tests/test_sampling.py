@@ -68,9 +68,18 @@ def test_temperature_targets_properties():
     th = temperature_targets(counts, 0.5, 912)
     assert sum(th.values()) == 912
     assert th["zh"] > t1["zh"] and th["en"] < t1["en"]
-    # capped by group size
+    # capped by group size — freed budget must flow to uncapped groups
+    # until the total is met (ADVICE r04: the single +1 pass lost it)
     tc = temperature_targets({"a": 10, "b": 10_000}, 0.5, 5000)
     assert tc["a"] <= 10
+    assert sum(tc.values()) == 5000
+    # alpha=0 forces heavy capping: equal weights but tiny groups
+    t0c = temperature_targets({"a": 3, "b": 5, "c": 9000}, 0.0, 1000)
+    assert t0c["a"] == 3 and t0c["b"] == 5
+    assert sum(t0c.values()) == 1000
+    # budget beyond the corpus: every group saturates, sum == sum(counts)
+    tall = temperature_targets({"a": 10, "b": 20}, 0.5, 1_000)
+    assert tall == {"a": 10, "b": 20}
     assert temperature_targets({}, 0.5, 100) == {}
 
 
