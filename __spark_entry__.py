@@ -296,6 +296,54 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_sample(docs, "lang", 40).select("doc_id", "lang", "source")
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli-style ~30% sample (query 45): keep rows
+    whose md5(id||salt) hex prefix compares below the fraction threshold
+    — a pure codegen'd filter (composes with pushdown; no RNG state, so
+    the sample is identical on every retry/engine). Nested-by-
+    construction: a smaller fraction is always a subset of a larger one
+    with the same salt (scaling-ablation sampling)."""
+    from langid_py_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.3).select("doc_id", "lang", "source")
+
+
+_TEMP_ALPHA, _TEMP_TOTAL = 0.5, 250
+
+
+def _temperature_quotas(sf_dir: str) -> dict[str, int]:
+    """Replay of the operator's own bounded driver pull (group histogram
+    → temperature_targets) for the oracle side, computed WITHOUT Spark
+    from the shared parquet table."""
+    import pandas as pd
+
+    from langid_py_spark.operators.sampling import temperature_targets
+
+    counts = (
+        pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])["lang"]
+        .value_counts()
+        .to_dict()
+    )
+    return temperature_targets(
+        {str(k): int(v) for k, v in counts.items()}, _TEMP_ALPHA, _TEMP_TOTAL
+    )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature resampling (Conneau & Lample; query 46):
+    per-language quotas ∝ n^alpha rescaled to a total budget (alpha<1
+    upweights low-resource languages), rows chosen in deterministic
+    content-hash order. Quota computation is a |groups|-row driver pull
+    by design; the selection is one window over the data."""
+    from langid_py_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(docs, "lang", _TEMP_ALPHA, _TEMP_TOTAL).select(
+        "doc_id", "lang"
+    )
+
+
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vote-aggregation shape (A6) in SQL-checkable form: per user, the
     event_type with the highest count (count desc, type asc tie-break)."""
@@ -763,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "balanced_sample": q_balanced_sample,
+        "hash_sample": q_hash_sample,
+        "temperature_sample": q_temperature_sample,
         "user_top_event": q_user_top_event,
         "sessionize_events": q_sessionize_events,
         "running_totals": q_running_totals,
@@ -878,6 +928,17 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": repetition.repetition_stats_oracle_sql("documents"),
         "balanced_sample": sampling.balanced_sample_oracle_sql(
             "documents", "lang", 40, ["doc_id", "lang", "source"]
+        ),
+        "hash_sample": sampling.hash_sample_oracle_sql(
+            "documents", 0.3, cols=["doc_id", "lang", "source"]
+        ),
+        "temperature_sample": sampling.temperature_sample_oracle_sql(
+            "documents",
+            "lang",
+            # quotas replayed at the driver's correctness-gate SF (the
+            # same sf0.01 convention as the golden-parquet oracles)
+            _temperature_quotas("/root/testdata/sf0.01"),
+            ["doc_id", "lang"],
         ),
         "user_top_event": """
             SELECT user_id, event_type AS top_event_type, n_events FROM (

@@ -60,11 +60,16 @@ def hash_sample(
 
 
 def hash_sample_oracle_sql(
-    table: str, fraction: float, id_col: str = "doc_id", salt: str = "s42"
+    table: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "s42",
+    cols: list[str] | None = None,
 ) -> str:
     threshold = format(int(fraction * (1 << 24)), "06x")
+    collist = ", ".join(cols) if cols else "*"
     return f"""
-    SELECT * FROM {table}
+    SELECT {collist} FROM {table}
     WHERE substring(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, 6)
           < '{threshold}'
     """
@@ -145,6 +150,37 @@ def temperature_targets(
         if assigned == 0:  # every group full: total > sum(counts)
             break
     return out
+
+
+def temperature_sample_oracle_sql(
+    table: str,
+    group_col: str,
+    targets: dict[str, int],
+    cols: list[str],
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> str:
+    """DuckDB twin of temperature_sample given the PRECOMPUTED per-group
+    quotas (they are deterministic — the caller replays
+    temperature_targets on the group histogram, exactly what the Spark
+    operator's bounded driver pull does): the balanced-sample window
+    pattern parameterized by a VALUES quota table."""
+    collist = ", ".join(f"t.{c}" for c in cols)
+    outlist = ", ".join(cols)
+    vals = ", ".join(
+        "('" + g.replace("'", "''") + f"', {int(t)})" for g, t in sorted(targets.items())
+    )
+    return f"""
+    SELECT {outlist} FROM (
+        SELECT {collist}, q._target, row_number() OVER (
+            PARTITION BY t.{group_col}
+            ORDER BY md5(CAST(t.{id_col} AS VARCHAR) || '{salt}') ASC,
+                     t.{id_col} ASC
+        ) AS _rk
+        FROM {table} t JOIN (VALUES {vals}) AS q({group_col}, _target)
+          ON t.{group_col} = q.{group_col}
+    ) WHERE _rk <= _target
+    """
 
 
 def temperature_sample(
