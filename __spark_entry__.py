@@ -32,6 +32,7 @@ from langid_py_spark.operators import (
     repetition,
     sampling,
     similarity,
+    spandedup,
     textstats,
 )
 from langid_py_spark.spark.rules import duckdb_rule_sql, rule_columns
@@ -294,6 +295,22 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return balanced_sample(docs, "lang", 40).select("doc_id", "lang", "source")
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document EXACT substring dedup (query 47; Lee et al. 2021
+    ExactSubstr): maximal merged char spans covered by 30-grams that
+    occur >= 2 times in the corpus — repeated boilerplate INSIDE
+    otherwise-unique documents, the one dedup stage doc-level
+    exact/near-dup passes cannot express. 100% Catalyst: sequence
+    explode → 8-byte xxhash64 window-count (one corpus-scale shuffle)
+    → exact gram-string recount on candidates (collision-proof) →
+    gaps-and-islands merge. DuckDB twin computes exact gram strings
+    from position one — no hashes, fully independent."""
+    from langid_py_spark.operators.spandedup import substring_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, k=30)
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": q_balanced_sample,
         "hash_sample": q_hash_sample,
         "temperature_sample": q_temperature_sample,
+        "substring_dup_spans": q_substring_dup_spans,
         "user_top_event": q_user_top_event,
         "sessionize_events": q_sessionize_events,
         "running_totals": q_running_totals,
@@ -932,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": sampling.hash_sample_oracle_sql(
             "documents", 0.3, cols=["doc_id", "lang", "source"]
         ),
+        "substring_dup_spans": spandedup.substring_dup_spans_oracle_sql(k=30),
         "temperature_sample": sampling.temperature_sample_oracle_sql(
             "documents",
             "lang",

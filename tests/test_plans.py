@@ -286,3 +286,49 @@ def test_cube_expands_in_one_pass(spark):
     plan = _plan(e.queries()["lang_source_cube"](spark, "/root/testdata/sf0.001"))
     assert "Expand" in plan, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_ngram_overlap_candidate_dedup_is_ids_only(spark):
+    """VERDICT r04: the closure-path candidate dedup must shuffle only
+    (doc_id, needle) — the document text joins back BY ID after the
+    dedup, never riding the exchange."""
+    from langid_py_spark.operators.contamination import ngram_overlap_scan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(
+        ngram_overlap_scan(docs, ["one two three four five six seven eight"], n=4)
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_text" not in m.group(1), m.group(0)
+
+
+def test_substring_dup_spans_plans(spark):
+    """Span dedup plan shape. Exact path: pure Catalyst (NO Python
+    eval), corpus-scale shuffle carries the 8-byte ghash (never the
+    gram string or text); the gram-string exchange exists only at
+    candidate scale; merge reuses doc_id partitioning. Winnowed path:
+    one scan, one anchor UDF, no hash exchange at all (anchors are
+    pre-thinned so the gram string IS the join key)."""
+    import re
+
+    from langid_py_spark.operators.spandedup import (
+        substring_dup_spans,
+        substring_dup_spans_winnowed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(substring_dup_spans(docs, k=30))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
+    ex_keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", p)
+    assert sorted(k.split("#")[0] for k in ex_keys) == ["doc_id", "ghash", "gram"], ex_keys
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "_t#" not in m.group(1), m.group(0)  # text never shuffles
+    assert "CartesianProduct" not in p
+
+    pw = _plan(substring_dup_spans_winnowed(docs, k=30, window=8))
+    assert pw.count("ArrowEvalPython") == 1, pw
+    assert pw.count("FileScan") == 1, pw
+    exw = re.findall(r"Exchange hashpartitioning\(([^,)]+)", pw)
+    assert sorted(k.split("#")[0] for k in exw) == ["doc_id", "gram"], exw
