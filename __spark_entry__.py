@@ -29,6 +29,7 @@ from langid_py_spark import config as C
 from langid_py_spark.operators import (
     contamination,
     dedup,
+    quality_classifier,
     repetition,
     sampling,
     similarity,
@@ -295,6 +296,25 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return balanced_sample(docs, "lang", 40).select("doc_id", "lang", "source")
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier tier (query 48; CCNet §4.4 / GPT-3 App. A
+    reference-corpus classifier): frozen logistic-regression weights
+    (committed artifact, trained deterministically offline by
+    scripts/train_quality_clf.py on the engine's own multilingual
+    generator — 98.9% train acc, en_stop_rate the dominant signal) over
+    PURE Catalyst features: one codegen'd dot product per doc, no UDF,
+    no shuffle. Emits the linear score z (bit-reproducible across
+    engines — multiply/add only) and its sign; sigmoid is available via
+    with_quality_probability but is not oracle-compared (libm vs
+    java.lang.Math exp differ in the last ulp)."""
+    from langid_py_spark.operators.quality_classifier import (
+        score_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return score_quality_classifier(docs)
 
 
 def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "temperature_sample": q_temperature_sample,
         "substring_dup_spans": q_substring_dup_spans,
+        "quality_classifier": q_quality_classifier,
         "user_top_event": q_user_top_event,
         "sessionize_events": q_sessionize_events,
         "running_totals": q_running_totals,
@@ -951,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", 0.3, cols=["doc_id", "lang", "source"]
         ),
         "substring_dup_spans": spandedup.substring_dup_spans_oracle_sql(k=30),
+        "quality_classifier": quality_classifier.quality_classifier_oracle_sql(),
         "temperature_sample": sampling.temperature_sample_oracle_sql(
             "documents",
             "lang",
