@@ -317,6 +317,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality_classifier(docs)
 
 
+def q_classifier_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by classifier score (query 49; GPT-3 App. A
+    'sampled in proportion to score'): deterministic per-id acceptance
+    under a piecewise-LINEAR score→probability map (sigmoid would put a
+    cross-engine exp() ulp into a row-keep decision) with the md5
+    hex-threshold draw of hash_sample. One fused codegen map — no UDF,
+    no RNG, no shuffle; same rows on every engine and retry."""
+    from langid_py_spark.operators.quality_classifier import (
+        classifier_importance_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier_importance_sample(docs).select("doc_id", "lang", "accept_p")
+
+
 def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document EXACT substring dedup (query 47; Lee et al. 2021
     ExactSubstr): maximal merged char spans covered by 30-grams that
@@ -852,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "substring_dup_spans": q_substring_dup_spans,
         "quality_classifier": q_quality_classifier,
+        "classifier_sample": q_classifier_sample,
         "user_top_event": q_user_top_event,
         "sessionize_events": q_sessionize_events,
         "running_totals": q_running_totals,
@@ -973,6 +989,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "substring_dup_spans": spandedup.substring_dup_spans_oracle_sql(k=30),
         "quality_classifier": quality_classifier.quality_classifier_oracle_sql(),
+        "classifier_sample": quality_classifier.classifier_importance_sample_oracle_sql(
+            cols=["doc_id", "lang"]
+        ),
         "temperature_sample": sampling.temperature_sample_oracle_sql(
             "documents",
             "lang",

@@ -129,6 +129,13 @@ def main() -> None:
         "ccnet_approx": lambda: run_noop(
             qs["ccnet_ppl_buckets_approx"](spark, sf_dir)
         ),
+        # r05 additions: sub-document substring dedup (pure-Catalyst
+        # position explode + two window counts) and the classifier tier
+        # (one codegen'd dot product — should be scan-bound)
+        "substring_spans": lambda: run_noop(
+            qs["substring_dup_spans"](spark, sf_dir)
+        ),
+        "quality_clf": lambda: run_noop(qs["quality_classifier"](spark, sf_dir)),
     }
 
     jif0, steal0 = _cpu_jiffies()

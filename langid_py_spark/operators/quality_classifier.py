@@ -210,6 +210,81 @@ def with_quality_probability(
     )
 
 
+def classifier_importance_sample(
+    df: DataFrame,
+    clf_path: str = DEFAULT_CLF_PATH,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "s42",
+    floor: float = 0.02,
+    center: float = 0.5,
+    scale: float = 8.0,
+) -> DataFrame:
+    """GPT-3-style importance sampling by classifier score (Brown 2020
+    App. A: 'documents were sampled in proportion to their score'):
+    keep a document iff its deterministic per-id uniform draw falls
+    under an acceptance probability derived from the classifier score.
+
+    Engine-exact by construction — no RNG, no exp():
+    * acceptance p = clamp(center + z/scale, floor, 1) — a piecewise-
+      LINEAR map of the linear score (multiply/add/clamp only; sigmoid
+      would drag the cross-engine exp() ulp problem into a row-keep
+      decision, where one ulp flips a row instead of a 6th decimal);
+      `floor` keeps a small unbiased slice of low-score docs (the
+      Pareto-tail trick in the GPT-3 recipe).
+    * the uniform draw is the first 6 hex chars of md5(id||salt)
+      (hash_sample's machinery); p becomes a 6-hex threshold via
+      floor(p * 16^24-bit) + to_hex + lpad, and the keep test is ONE
+      string compare — pure codegen, reproducible on every engine and
+      retry, nested across salts like hash_sample.
+
+    The whole operator is one fused map over the scan: classifier
+    features + score + threshold + compare in a single codegen stage,
+    no UDF, no shuffle.
+    """
+    bias, w = load_weights(clf_path)
+    z = score_expr(F.col(text_col), bias, w)
+    p = F.least(
+        F.greatest(F.lit(float(center)) + z / F.lit(float(scale)), F.lit(float(floor))),
+        F.lit(1.0),
+    )
+    thr = F.least(
+        F.floor(p * F.lit(16777216.0)).cast("long"), F.lit(16777215)
+    )
+    thr_hex = F.lpad(F.lower(F.hex(thr)), 6, "0")
+    pref = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 6
+    )
+    return df.filter(pref <= thr_hex).withColumn("accept_p", F.round(p, 6))
+
+
+def classifier_importance_sample_oracle_sql(
+    clf_path: str = DEFAULT_CLF_PATH,
+    table: str = "documents",
+    cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "s42",
+    floor: float = 0.02,
+    center: float = 0.5,
+    scale: float = 8.0,
+) -> str:
+    bias, w = load_weights(clf_path)
+    fs = feature_sql("text")
+    z = repr(float(bias))
+    for name, wi in zip(FEATURE_NAMES, w):
+        z = f"({z} + {float(wi)!r} * {fs[name]})"
+    p = f"least(greatest({float(center)!r} + {z} / {float(scale)!r}, {float(floor)!r}), 1.0)"
+    thr = f"least(CAST(floor({p} * 16777216.0) AS BIGINT), 16777215)"
+    thr_hex = f"lpad(lower(to_hex({thr})), 6, '0')"
+    pref = f"substring(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, 6)"
+    collist = ", ".join(cols) if cols else "*"
+    return f"""
+    SELECT {collist}, round({p}, 6) AS accept_p
+    FROM {table}
+    WHERE {pref} <= {thr_hex}
+    """
+
+
 # ------------------------------------------------------------- training
 def fit_numpy(
     X: np.ndarray, y: np.ndarray, lr: float = 0.5, iters: int = 400

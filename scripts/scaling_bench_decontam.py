@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""N→4N scaling evidence for the decontamination family (VERDICT r04
+#6): contamination_scan_join with a real 10^4-needle list — the
+rolling-hash fingerprint-join path built for full eval-suite
+decontamination.
+
+Protocol mirrors scripts/scaling_bench_minhash.py exactly: same input,
+local[N] vs local[4N] in separate JVMs, median of 3 warm runs each
+(first run discarded), tmpfs shuffle dirs, 2 MB scan splits, busy-loop
+CPU ceiling measured beside the result. Machine must be otherwise idle
+(CLAUDE.md bench-contention protocol).
+
+Input: the minhash scaling table (documents-shaped transcripts at sf),
+reused. Needles: 10k deterministic 30-80-char slices of corpus texts
+(RandomState(42) — guaranteed hits) + 50 absent canaries, written once
+beside the input.
+
+Usage: python scripts/scaling_bench_decontam.py [sf] [N]  (default 1.0, 4)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from scaling_bench import hardware_ceiling  # noqa: E402
+
+N_NEEDLES = 10_000
+
+CHILD = """
+import sys, time, json, statistics, os
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+from langid_py_spark.spark.session import get_spark
+from langid_py_spark.operators.contamination import contamination_scan_join
+spark = get_spark(cores={cores}, shuffle_partitions={cores}, app_name="scaling_decontam",
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "2m",
+                               "spark.local.dir": "/dev/shm/spark-local"}})
+src = {src!r}
+needles = json.load(open({needle_path!r}))
+docs = spark.read.parquet(src)
+n = docs.count()
+samples = []
+for i in range(4):  # first run = warmup, discarded
+    t0 = time.time()
+    out = contamination_scan_join(docs, needles, k=16)
+    out.write.format("noop").mode("overwrite").save()
+    samples.append(time.time() - t0)
+med = statistics.median(samples[1:])
+print("RESULT " + json.dumps({{"cores": {cores}, "sec": med, "docs": n}}))
+"""
+
+
+def run_at(cores: int, src: str, needle_path: str) -> dict:
+    code = CHILD.format(repo=str(REPO), cores=cores, src=src, needle_path=needle_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT ") :])
+    raise RuntimeError(
+        f"no RESULT from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
+    )
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from pyspark.sql import functions as F
+
+    from langid_py_spark.fixtures.transcripts import ensure_transcripts
+    from langid_py_spark.spark.session import get_spark
+
+    src = str(REPO / ".cache" / f"minhash_docs_sf{sf}")
+    if not (Path(src) / "_SUCCESS").exists():
+        spark = get_spark(cores=16, shuffle_partitions=16, app_name="decontam_gen")
+        t = spark.read.parquet(ensure_transcripts(spark, sf))
+        docs = t.select(
+            F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+        ).repartition(64)
+        docs.write.mode("overwrite").parquet(src)
+        spark.stop()
+
+    needle_path = str(REPO / ".cache" / f"decontam_needles_sf{sf}.json")
+    if not Path(needle_path).exists():
+        import numpy as np
+        import pandas as pd
+
+        files = sorted(Path(src).glob("*.parquet"))[:4]
+        texts = pd.concat([pd.read_parquet(f, columns=["text"]) for f in files])[
+            "text"
+        ].fillna("")
+        texts = [t for t in texts if len(t) >= 90]
+        rng = np.random.RandomState(42)
+        needles: list[str] = []
+        seen: set[str] = set()
+        while len(needles) < N_NEEDLES:
+            t = texts[rng.randint(len(texts))]
+            length = int(rng.randint(30, 80))
+            s = int(rng.randint(max(1, len(t) - length)))
+            nd = t[s : s + length]
+            if nd and nd not in seen:
+                seen.add(nd)
+                needles.append(nd)
+        needles += [f"zzz-canary-{i:05d}-held-out" for i in range(50)]
+        json.dump(needles, open(needle_path, "w"))
+
+    ceiling = hardware_ceiling(n)
+    rn = run_at(n, src, needle_path)
+    r4n = run_at(4 * n, src, needle_path)
+    tpn = rn["docs"] / rn["sec"]
+    tp4n = r4n["docs"] / r4n["sec"]
+    eff = (tp4n / tpn) / 4
+    result = {
+        "op": f"contamination_scan_join_{N_NEEDLES}needles",
+        "sf": sf,
+        "docs": rn["docs"],
+        "n_cores": n,
+        "localN_sec": round(rn["sec"], 2),
+        "local4N_sec": round(r4n["sec"], 2),
+        "localN_docs_per_sec": round(tpn, 1),
+        "local4N_docs_per_sec": round(tp4n, 1),
+        "scaling_efficiency_n_to_4n": round(eff, 3),
+        "hardware_cpu_ceiling": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(eff / ceiling, 3),
+    }
+    print(json.dumps(result))
+
+    bench_md = REPO / "BENCH" / "BASELINE.md"
+    with bench_md.open("a") as f:
+        f.write(
+            f"| sf{sf} decontam 10k needles | {result['docs']} | {n} | "
+            f"{result['localN_sec']} | {result['local4N_sec']} | "
+            f"{result['localN_docs_per_sec']} | {result['local4N_docs_per_sec']} | "
+            f"{result['scaling_efficiency_n_to_4n']} | "
+            f"{result['hardware_cpu_ceiling']} | "
+            f"{result['efficiency_vs_ceiling']} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

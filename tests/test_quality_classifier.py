@@ -159,3 +159,59 @@ def test_classifier_plan_is_pure_codegen(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_classifier_importance_sample(spark):
+    """Deterministic score-proportional sampling: acceptance rate per
+    score tier tracks the linear p map; identical rows on re-run; high-p
+    docs (p=1) are ALL kept; the whole operator is one codegen map."""
+    from langid_py_spark.operators.quality_classifier import (
+        classifier_importance_sample,
+        feature_py,
+        load_weights,
+    )
+
+    rng = np.random.RandomState(21)
+    texts, ids = [], []
+    for lang in ("en", "de", "zh", "ru", "fr", "es"):
+        for _ in range(400):
+            texts.append(make_doc(rng, lang, 3))
+            ids.append(len(ids))
+    pdf = pd.DataFrame({"doc_id": ids, "text": texts})
+    docs = spark.createDataFrame(pdf)
+    kept = classifier_importance_sample(docs).toPandas()
+    kept2 = classifier_importance_sample(docs).toPandas()
+    assert set(kept.doc_id) == set(kept2.doc_id)  # no RNG anywhere
+
+    bias, w = load_weights()
+    X = np.vstack([feature_py(t) for t in texts])
+    z = X @ w + bias
+    p = np.clip(0.5 + z / 8.0, 0.02, 1.0)
+    # p=1 docs must all survive (the lpad-truncation trap is guarded by
+    # the 16777215 cap + <= compare)
+    full = pdf.doc_id[p >= 1.0]
+    assert len(full) > 0 and set(full) <= set(kept.doc_id)
+    # aggregate acceptance tracks mean(p) (exact per-id hash, so the
+    # rate over 2400 ids concentrates)
+    assert abs(len(kept) / len(pdf) - p.mean()) < 0.05
+    # per-tier acceptance tracks that tier's mean p — and en (high
+    # score) is kept at a far higher rate than zh (score-proportional
+    # sampling doing its job)
+    en_rate = kept.doc_id.lt(400).sum() / 400
+    zh_rate = kept.doc_id.between(800, 1199).sum() / 400
+    assert abs(en_rate - p[:400].mean()) < 0.07, (en_rate, p[:400].mean())
+    assert abs(zh_rate - p[800:1200].mean()) < 0.07, (zh_rate, p[800:1200].mean())
+    assert en_rate > zh_rate + 0.5, (en_rate, zh_rate)
+    # accept_p column matches the numpy p map after rounding
+    m = kept.sort_values("doc_id")
+    np.testing.assert_allclose(
+        m["accept_p"].values, np.round(p[m.doc_id.values], 6), atol=1e-9
+    )
+    # plan: one fused map, no exchange, no UDF eval
+    plan = (
+        classifier_importance_sample(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
