@@ -83,7 +83,9 @@ def substring_dup_spans(
 
     Plan: scan → sequence/explode to (id, pos) with an 8-byte
     xxhash64(gram) key → window-count over the hash (ONE corpus-scale
-    shuffle; groupBy+self-join would shuffle the position table twice)
+    shuffle; the groupBy+join alternative measured 2.40 s vs 1.63 s
+    for this at sf0.1/32 cores — the second position-table shuffle
+    costs more than the window's sort)
     → candidates re-join their text BY ID (candidate-scale) → exact
     recount over the gram STRING (collision-proof: a 64-bit collision
     only costs a candidate row, the string recount drops it) →
