@@ -298,6 +298,21 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_sample(docs, "lang", 40).select("doc_id", "lang", "source")
 
 
+def q_substring_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sub-document-dedup path (query 50): only winnowing-
+    selected anchor positions (content-defined — identical in every
+    copy of a duplicated region, which stride sampling cannot
+    guarantee) enter the shuffle, ~2/(w+1) of the positions, with
+    detection guaranteed for spans >= k+w-1 chars. Golden oracle: the
+    SAME anchor kernel driven without Spark + a pandas twin of the
+    count/merge logic — the driver pins the two paths the way it pins
+    contamination_scan vs contamination_scan_join."""
+    from langid_py_spark.operators.spandedup import substring_dup_spans_winnowed
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    return substring_dup_spans_winnowed(docs, k=30, window=8)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier tier (query 48; CCNet §4.4 / GPT-3 App. A
     reference-corpus classifier): frozen logistic-regression weights
@@ -869,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "temperature_sample": q_temperature_sample,
         "substring_dup_spans": q_substring_dup_spans,
+        "substring_spans_winnowed": q_substring_spans_winnowed,
         "quality_classifier": q_quality_classifier,
         "classifier_sample": q_classifier_sample,
         "user_top_event": q_user_top_event,
@@ -991,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", 0.3, cols=["doc_id", "lang", "source"]
         ),
         "substring_dup_spans": spandedup.substring_dup_spans_oracle_sql(k=30),
+        "substring_spans_winnowed": _golden_sql("substring_spans_winnowed"),
         "quality_classifier": quality_classifier.quality_classifier_oracle_sql(),
         "classifier_sample": quality_classifier.classifier_importance_sample_oracle_sql(
             cols=["doc_id", "lang"]

@@ -373,6 +373,65 @@ def g_dedup_clusters(pair_frames: list[pd.DataFrame]) -> pd.DataFrame:
     ).astype({"doc_id": np.int64, "cluster_id": np.int64, "is_rep": bool})
 
 
+def g_substring_spans_winnowed(
+    docs: pd.DataFrame, k: int = 30, window: int = 8
+) -> pd.DataFrame:
+    """Winnowed sub-document dup spans: SAME anchor kernel as the Spark
+    UDF (codepoint rolling hashes + window-argmin — both per-doc
+    independent, so Arrow batch composition cannot shift a value) +
+    pandas twin of the gram-count / gaps-and-islands DataFrame logic."""
+    from collections import Counter
+    from itertools import groupby
+
+    from langid_py_spark.operators.spandedup import (
+        _codepoints_batch,
+        _winnow_anchor_positions,
+    )
+
+    texts = docs["text"].fillna("").tolist()
+    ids = docs["doc_id"].tolist()
+    buf, lens = _codepoints_batch(texts)
+    grams, counts = dedup._rolling_hashes_batch(
+        buf, lens, k, dedup._FNV_PRIME, dedup._FNV_OFFSET
+    )
+    sel = _winnow_anchor_positions(grams, counts, window)
+    gram_count: Counter = Counter()
+    anchor_rows: list[tuple[int, int, str]] = []
+    for i, t in enumerate(texts):
+        if lens[i] < k:
+            continue
+        for p in sel[i]:
+            g = t[p : p + k]
+            anchor_rows.append((ids[i], int(p), g))
+            gram_count[g] += 1
+    flagged = sorted((d, p) for d, p, g in anchor_rows if gram_count[g] >= 2)
+    gap = k + window
+    out = []
+    for d, grp in groupby(flagged, key=lambda r: r[0]):
+        poss = [p for _, p in grp]
+        start = prev = poss[0]
+        n = 1
+        for p in poss[1:]:
+            if p - prev <= gap:
+                prev = p
+                n += 1
+            else:
+                out.append((d, start, prev + k, n))
+                start = prev = p
+                n = 1
+        out.append((d, start, prev + k, n))
+    return pd.DataFrame(
+        out, columns=["doc_id", "span_start", "span_end", "n_grams"]
+    ).astype(
+        {
+            "doc_id": np.int64,
+            "span_start": np.int64,
+            "span_end": np.int64,
+            "n_grams": np.int64,
+        }
+    )
+
+
 def g_ccnet_ppl_buckets(docs: pd.DataFrame, approx: bool = False) -> pd.DataFrame:
     """Twin of quality.ccnet_ppl_buckets: same LM kernel, per-lang tercile
     thresholds via linear-interpolated percentile (Spark F.percentile and
@@ -495,6 +554,7 @@ def main() -> None:
         "srp_ann_topk": g_srp_ann_topk(emb),
         "srp_dup_pairs": g_srp_dup_pairs(emb),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
+        "substring_spans_winnowed": g_substring_spans_winnowed(docs),
         "ccnet_ppl_buckets": g_ccnet_ppl_buckets(docs),
         "ccnet_ppl_buckets_approx": g_ccnet_ppl_buckets(docs, approx=True),
         "media_features": g_media_features(),
