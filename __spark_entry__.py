@@ -298,6 +298,24 @@ def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_sample(docs, "lang", 40).select("doc_id", "lang", "source")
 
 
+def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of sub-document dedup (query 51; the Lee et
+    al. cut-all-copies policy): every duplicated span spliced out of
+    every document's text — what near_dedup_keep is to dedup_clusters.
+    Oracle: the span CTE + an ordered string_agg splice in DuckDB; the
+    compare is byte-exact over the full reconstructed text column."""
+    from langid_py_spark.operators.spandedup import (
+        cut_spans,
+        substring_dup_spans,
+    )
+
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    spans = substring_dup_spans(docs, k=30)
+    return cut_spans(docs, spans).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+
+
 def q_substring_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sub-document-dedup path (query 50): only winnowing-
     selected anchor positions (content-defined — identical in every
@@ -455,6 +473,42 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (query 52): the canonical 3-way star join —
+    filtered dim (customer segment) broadcast into orders, the
+    surviving order keys joined into the fact (lineitem), revenue agg,
+    deterministic top-10. Catalyst pushes both date filters to the
+    scans; AQE picks broadcast for the filtered orders side against
+    lineitem when it shrinks enough — the exact plan a 100 TB
+    fact-table query needs."""
+    cut = "1996-06-15"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cut).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cut).cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), orders.o_custkey == cust.c_custkey
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
 
@@ -885,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_spans_winnowed": q_substring_spans_winnowed,
+        "substring_dedup_cut": q_substring_dedup_cut,
         "quality_classifier": q_quality_classifier,
         "classifier_sample": q_classifier_sample,
         "user_top_event": q_user_top_event,
@@ -893,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_top_words": q_union_distinct_top_words,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
         "lang_histogram": q_lang_histogram,
         "lang_source_cube": q_lang_source_cube,
         # UDF-backed (golden-parquet oracles; numpy-oracle parity in pytest)
@@ -1008,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "substring_dup_spans": spandedup.substring_dup_spans_oracle_sql(k=30),
         "substring_spans_winnowed": _golden_sql("substring_spans_winnowed"),
+        "substring_dedup_cut": spandedup.cut_spans_oracle_sql(k=30),
         "quality_classifier": quality_classifier.quality_classifier_oracle_sql(),
         "classifier_sample": quality_classifier.classifier_importance_sample_oracle_sql(
             cols=["doc_id", "lang"]
@@ -1094,6 +1151,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
             ORDER BY total_spent DESC, c_custkey ASC LIMIT 10
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1996-06-15 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
         """,
         "lang_histogram": """
             SELECT lang, source, count(*) AS n_docs,

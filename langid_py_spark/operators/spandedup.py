@@ -177,6 +177,42 @@ def substring_dup_spans_oracle_sql(
     """
 
 
+def cut_spans_oracle_sql(
+    k: int = 30, table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of cut_spans(df, substring_dup_spans(df, k)): the
+    span CTE (independent string-ops path) + an ordered string_agg
+    splice — segment before each span via lag(span_end), tail after the
+    last span; span-free docs pass through by LEFT JOIN."""
+    return f"""
+    WITH spans AS ({substring_dup_spans_oracle_sql(k=k, table=table, id_col=id_col)}),
+    base AS (SELECT {id_col}, coalesce(text, '') AS t FROM {table}),
+    seg AS (
+        SELECT {id_col}, span_start, span_end,
+               lag(span_end, 1, 0) OVER (
+                   PARTITION BY {id_col} ORDER BY span_start
+               ) AS prev_end
+        FROM spans
+    ),
+    spliced AS (
+        SELECT s.{id_col},
+               string_agg(
+                   substring(b.t, CAST(s.prev_end + 1 AS BIGINT),
+                             CAST(s.span_start - s.prev_end AS BIGINT)),
+                   '' ORDER BY s.span_start
+               ) AS head,
+               max(s.span_end) AS last_end
+        FROM seg s JOIN base b USING ({id_col})
+        GROUP BY s.{id_col}
+    )
+    SELECT b.{id_col},
+           CASE WHEN sp.{id_col} IS NULL THEN b.t
+                ELSE sp.head || substring(b.t, CAST(sp.last_end + 1 AS BIGINT))
+           END AS text
+    FROM base b LEFT JOIN spliced sp USING ({id_col})
+    """
+
+
 def _codepoints_batch(texts: list) -> tuple[np.ndarray, np.ndarray]:
     """Concat-buffer of CODEPOINT values (utf-32 decode — vectorized,
     no per-char Python) so positions are CHAR offsets, matching the
