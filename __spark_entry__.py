@@ -29,6 +29,7 @@ from langid_py_spark import config as C
 from langid_py_spark.operators import (
     contamination,
     dedup,
+    packing,
     quality_classifier,
     repetition,
     sampling,
@@ -209,6 +210,45 @@ def q_prefix_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_dups") > 1)
     )
+
+
+def _line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-structured corpus derived from the shared table (the fixture
+    documents contain no newlines, which would make a line-dedup check
+    vacuous): doc i = text_i + '\\n' + text_{i+1}, so every interior
+    text appears as a line in TWO synthetic docs — real cross-document
+    line duplication with non-trivial first-occurrence semantics,
+    constructible identically in the SQL twin."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id"), F.col("text").alias("_ta"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_tb"))
+    return a.join(b, "doc_id").select(
+        "doc_id", F.concat("_ta", F.lit("\n"), "_tb").alias("text")
+    )
+
+
+_LINE_CORPUS_SQL = (
+    "(SELECT a.doc_id AS doc_id, a.text || chr(10) || b.text AS text "
+    "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)"
+)
+
+
+def q_line_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level dedup drop list (query 53; Raffel 2020 §2.2 'we
+    removed any line that appeared more than once in the corpus'): the
+    dedup tier between whole-doc hashing and char-level span dedup.
+    One corpus-scale shuffle carrying (doc_id, line_idx, md5) — one row
+    per LINE; count + first-occurrence rank ride the same window
+    partition."""
+    return dedup.line_dedup_drops(_line_corpus(spark, sf_dir))
+
+
+def q_line_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied form of C4 line dedup (query 54): every non-first
+    duplicated line spliced out, kept lines re-joined in order. The
+    reconstruct is an anti-join on (doc_id, line_idx) + per-doc ordered
+    array_join; byte-exact compare over the full rebuilt text."""
+    return dedup.line_dedup_keep(_line_corpus(spark, sf_dir))
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +470,18 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, "lang", _TEMP_ALPHA, _TEMP_TOTAL).select(
         "doc_id", "lang"
     )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (query 55): concat-then-chunk the corpus into
+    2048-token training bins in deterministic hash order. Distributed
+    two-level prefix sum (256 hash buckets windowed in parallel, one
+    256-row driver pull for the bucket bases, broadcast back); the
+    oracle is the naive single-window global cumsum — an independent
+    formulation that only works at oracle scale, which is the point."""
+    from langid_py_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048)
 
 
 def q_user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,6 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "prefix_dedup_groups": q_prefix_dedup_groups,
         "dedup_survivors": q_dedup_survivors,
+        "line_dedup_drops": q_line_dedup_drops,
+        "line_dedup_keep": q_line_dedup_keep,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -937,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": q_balanced_sample,
         "hash_sample": q_hash_sample,
         "temperature_sample": q_temperature_sample,
+        "pack_sequences": q_pack_sequences,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_spans_winnowed": q_substring_spans_winnowed,
         "substring_dedup_cut": q_substring_dedup_cut,
@@ -1025,6 +1080,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "jaccard_pairs": dedup.jaccard_pairs_oracle_sql("documents", threshold=0.6),
+        "line_dedup_drops": dedup.line_dedup_drops_oracle_sql(_LINE_CORPUS_SQL),
+        "line_dedup_keep": dedup.line_dedup_keep_oracle_sql(_LINE_CORPUS_SQL),
         "cosine_topk": similarity.cosine_topk_oracle_sql("embeddings", n_queries=5, k=5),
         "embedding_dup_pairs": """
             WITH e AS (
@@ -1062,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": sampling.hash_sample_oracle_sql(
             "documents", 0.3, cols=["doc_id", "lang", "source"]
         ),
+        "pack_sequences": packing.pack_sequences_oracle_sql(budget=2048),
         "substring_dup_spans": spandedup.substring_dup_spans_oracle_sql(k=30),
         "substring_spans_winnowed": _golden_sql("substring_spans_winnowed"),
         "substring_dedup_cut": spandedup.cut_spans_oracle_sql(k=30),

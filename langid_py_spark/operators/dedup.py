@@ -68,6 +68,143 @@ def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# ------------------------------------------------- C4 line-level dedup
+def line_dedup_drops(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4's line-level dedup (Raffel 2020 §2.2: 'we removed any line
+    that appeared more than once in the corpus' — navigation chrome,
+    cookie banners, boilerplate): the drop list (doc_id, line_idx,
+    line_hash) of every NON-FIRST occurrence of each duplicated
+    non-empty line. First occurrence = lowest (doc_id, line_idx) —
+    deterministic, engine-portable.
+
+    The tier between doc-level dedup (whole-text hash) and
+    sub-document span dedup (char k-grams): lines are natural units of
+    web boilerplate, and the corpus-scale shuffle here is one row per
+    LINE (vs per char for spans). Pure Catalyst: split → posexplode →
+    ONE window over md5(line) (count + rank in the same window
+    partition — one shuffle, the spandedup-measured pattern) → filter.
+    Empty lines are structure, not content — never dropped.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = (
+        df.select(F.col(id_col), F.posexplode(F.split(t, "\n")).alias("line_idx", "line"))
+        .filter(F.col("line") != "")
+        .withColumn("line_hash", F.md5(F.col("line")))
+    )
+    w = Window.partitionBy("line_hash")
+    w_rank = w.orderBy(F.asc(id_col), F.asc("line_idx"))
+    return (
+        lines.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter((F.col("_n") >= 2) & (F.col("_rn") >= 2))
+        .select(id_col, F.col("line_idx").cast("long").alias("line_idx"), "line_hash")
+    )
+
+
+def line_dedup_drops_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    return f"""
+    WITH lines AS (
+        SELECT {id_col},
+               CAST(idx - 1 AS BIGINT) AS line_idx,  -- unnest ordinality is 1-based; Spark posexplode 0-based
+               md5(line) AS line_hash
+        FROM (
+            SELECT {id_col},
+                   unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+                   generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1) AS idx
+            FROM {table}
+        ) WHERE line <> ''
+    )
+    SELECT {id_col}, line_idx, line_hash FROM (
+        SELECT {id_col}, line_idx, line_hash,
+               count(*) OVER (PARTITION BY line_hash) AS _n,
+               row_number() OVER (PARTITION BY line_hash
+                                  ORDER BY {id_col} ASC, line_idx ASC) AS _rn
+        FROM lines
+    ) WHERE _n >= 2 AND _rn >= 2
+    """
+
+
+def line_dedup_keep(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The applied form: each document's text with dropped lines
+    spliced out (kept lines re-joined by newline in original order).
+    Reconstruction is pure Catalyst — posexplode → anti-join the drop
+    list (ids-only: (doc_id, line_idx)) → sort_array of (idx, line)
+    structs → array_join. Docs whose every line is dropped (or that
+    were empty) come back as '' rather than disappearing."""
+    drops = line_dedup_drops(df, text_col, id_col).select(
+        id_col, "line_idx"
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(t, "\n")).alias("line_idx", "line")
+    )
+    kept = lines.join(drops, [id_col, "line_idx"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("line_idx", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+
+
+def line_dedup_keep_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    return f"""
+    WITH lines AS (
+        SELECT {id_col},
+               CAST(idx - 1 AS BIGINT) AS line_idx,
+               line
+        FROM (
+            SELECT {id_col},
+                   unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+                   generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1) AS idx
+            FROM {table}
+        )
+    ),
+    drops AS (
+        SELECT {id_col}, line_idx FROM (
+            SELECT {id_col}, line_idx,
+                   count(*) OVER (PARTITION BY line) AS _n,
+                   row_number() OVER (PARTITION BY line
+                                      ORDER BY {id_col} ASC, line_idx ASC) AS _rn
+            FROM lines WHERE line <> ''
+        ) WHERE _n >= 2 AND _rn >= 2
+    ),
+    kept AS (
+        SELECT l.{id_col}, l.line_idx, l.line
+        FROM lines l LEFT JOIN drops d
+          ON l.{id_col} = d.{id_col} AND l.line_idx = d.line_idx
+        WHERE d.{id_col} IS NULL
+    ),
+    rebuilt AS (
+        SELECT {id_col}, string_agg(line, chr(10) ORDER BY line_idx) AS text
+        FROM kept GROUP BY {id_col}
+    )
+    SELECT b.{id_col}, coalesce(r.text, '') AS text
+    FROM {table} b LEFT JOIN rebuilt r USING ({id_col})
+    """
+
+
 # ------------------------------------------------------------- jaccard
 def word_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(

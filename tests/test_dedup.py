@@ -249,3 +249,64 @@ def test_rolling_hashes_property():
             assert got[offs[i] : offs[i + 1]].tolist() == naive(d), d
 
     check()
+
+
+def test_c4_line_dedup(spark):
+    """C4 line-level dedup: drops == a naive Python first-occurrence
+    counter on hostile docs (shared banner lines, within-doc repeats,
+    empty lines, null text); keep reconstructs the exact spliced text;
+    empty lines are never dropped."""
+    import hashlib
+
+    import pandas as pd
+
+    from langid_py_spark.operators.dedup import line_dedup_drops, line_dedup_keep
+
+    rows = [
+        (0, "unique alpha\nCOOKIE BANNER\nbody text one"),
+        (1, "COOKIE BANNER\nunique beta\nCOOKIE BANNER"),   # cross-doc + within-doc
+        (2, "body text one\n\nunique gamma"),                # empty line kept
+        (3, None),
+        (4, ""),
+        (5, "COOKIE BANNER"),                                # whole doc duplicated line
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+
+    # naive twin: first occurrence by (doc_id, line_idx) survives
+    seen: dict[str, tuple] = {}
+    occurrences = []
+    for did, t in rows:
+        for idx, line in enumerate((t or "").split("\n")):
+            if line == "":
+                continue
+            occurrences.append((did, idx, line))
+    counts: dict[str, int] = {}
+    for _, _, line in occurrences:
+        counts[line] = counts.get(line, 0) + 1
+    want_drops = set()
+    for did, idx, line in sorted(occurrences):
+        if counts[line] >= 2:
+            if line in seen:
+                want_drops.add((did, idx, hashlib.md5(line.encode()).hexdigest()))
+            else:
+                seen[line] = (did, idx)
+
+    got = {
+        (r.doc_id, r.line_idx, r.line_hash)
+        for r in line_dedup_drops(docs).collect()
+    }
+    assert got == want_drops, (got, want_drops)
+
+    kept = {r.doc_id: r.text for r in line_dedup_keep(docs).collect()}
+    drop_idx = {(d, i) for d, i, _ in want_drops}
+    for did, t in rows:
+        lines = (t or "").split("\n")
+        want = "\n".join(
+            l for i, l in enumerate(lines) if (did, i) not in drop_idx
+        )
+        assert kept[did] == want, (did, kept[did], want)
+    # doc 2's first line is a NON-first occurrence (doc 0 had it) ->
+    # dropped; the empty structural line survives
+    assert kept[2] == "\nunique gamma"
+    assert kept[5] == ""  # only-line duplicated and non-first -> empty doc

@@ -332,3 +332,15 @@ def test_substring_dup_spans_plans(spark):
     assert pw.count("FileScan") == 1, pw
     exw = re.findall(r"Exchange hashpartitioning\(([^,)]+)", pw)
     assert sorted(k.split("#")[0] for k in exw) == ["doc_id", "gram"], exw
+
+
+def test_shipping_priority_plan(spark):
+    """Q3 star join: customer dim broadcast, date filters pushed to the
+    parquet scans, no cartesian."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["shipping_priority"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan

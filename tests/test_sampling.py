@@ -97,3 +97,46 @@ def test_temperature_sample_matches_targets(spark):
     assert len(out) == total
     out2 = temperature_sample(docs, "lang", 0.5, total).toPandas()
     assert set(out["doc_id"]) == set(out2["doc_id"])
+
+
+def test_pack_sequences(spark):
+    """Concat-then-chunk packing: the global token stream has no holes
+    (each start = prev start + prev tokens in hash order), bins are
+    start div budget, results match a naive pandas twin exactly, and a
+    caller-provided token-count column is honored."""
+    import hashlib
+
+    import pytest
+
+    from langid_py_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    B = 512
+    got = pack_sequences(docs, budget=B).toPandas()
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    pdf["n_tokens"] = pdf["text"].fillna("").str.findall(r"\S+").str.len()
+    pdf["h"] = [
+        hashlib.md5(f"{d}s42".encode()).hexdigest() for d in pdf["doc_id"]
+    ]
+    pdf = pdf.sort_values(["h", "doc_id"]).reset_index(drop=True)
+    pdf["start"] = pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+    want = {
+        r.doc_id: (r.n_tokens, r.start, r.start // B) for r in pdf.itertuples()
+    }
+    assert len(got) == len(pdf)
+    for r in got.itertuples():
+        assert want[r.doc_id] == (r.n_tokens, r.start_offset, r.bin_id), r.doc_id
+
+    # contiguity: no holes in the stream
+    g = got.sort_values("start_offset").reset_index(drop=True)
+    ends = g["start_offset"] + g["n_tokens"]
+    assert (g["start_offset"].iloc[1:].values == ends.iloc[:-1].values).all()
+    assert g["start_offset"].iloc[0] == 0
+
+    # custom token column + guard
+    with_col = docs.withColumn("my_tok", F.length("text"))
+    got2 = pack_sequences(with_col, budget=B, n_tokens_col="my_tok").toPandas()
+    assert (got2["n_tokens"] == got2["n_tokens"].astype(int)).all()
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
