@@ -458,6 +458,28 @@ def _temperature_quotas(sf_dir: str) -> dict[str, int]:
     )
 
 
+def _temperature_oracle_sql() -> str:
+    """Quota replay for the oracle side — at the SF the check harness is
+    actually running (LANGID_ORACLE_SF_DIR, exported by
+    scripts/check_oracles.py; the driver's gate runs at its default,
+    sf0.01 — the golden-parquet convention). A missing/unreadable table
+    degrades to a guaranteed-mismatch marker query for THIS entry only,
+    instead of crashing oracle_sql() for every query (review r05)."""
+    import os
+
+    sf_dir = os.environ.get("LANGID_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        quotas = _temperature_quotas(sf_dir)
+    except Exception as exc:  # lazy, per-query failure
+        return (
+            f"SELECT 'temperature quotas unavailable: {type(exc).__name__}' "
+            "AS err WHERE 1 = 0"
+        )
+    return sampling.temperature_sample_oracle_sql(
+        "documents", "lang", quotas, ["doc_id", "lang"]
+    )
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilingual temperature resampling (Conneau & Lample; query 46):
     per-language quotas ∝ n^alpha rescaled to a total budget (alpha<1
@@ -1127,14 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_sample": quality_classifier.classifier_importance_sample_oracle_sql(
             cols=["doc_id", "lang"]
         ),
-        "temperature_sample": sampling.temperature_sample_oracle_sql(
-            "documents",
-            "lang",
-            # quotas replayed at the driver's correctness-gate SF (the
-            # same sf0.01 convention as the golden-parquet oracles)
-            _temperature_quotas("/root/testdata/sf0.01"),
-            ["doc_id", "lang"],
-        ),
+        "temperature_sample": _temperature_oracle_sql(),
         "user_top_event": """
             SELECT user_id, event_type AS top_event_type, n_events FROM (
                 SELECT user_id, event_type, count(*) AS n_events,

@@ -149,12 +149,13 @@ def line_dedup_keep(
         kept.groupBy(id_col)
         .agg(
             F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("line_idx", "line"))
-                    ),
-                    lambda s: s["line"],
-                ),
+                # .getField over array<struct> (GetArrayStructFields)
+                # instead of an F.transform lambda: HOFs are
+                # CodegenFallback and would poison the per-doc rebuild
+                # Project (the CLAUDE.md perf trap)
+                F.sort_array(
+                    F.collect_list(F.struct("line_idx", "line"))
+                ).getField("line"),
                 "\n",
             ).alias("text")
         )

@@ -58,12 +58,19 @@ def pack_sequences(
         else F.regexp_count(t, F.lit(r"\S+")).cast("long")
     )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         h.alias("_h"),
         F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("_bkt"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted because the frame is evaluated TWICE — the bucket-totals
+    # collect below and the returned windowed plan; without it the
+    # per-row md5 + token count run over the corpus twice (review r05).
+    # Same convention as minhash persist_sigs: lives until LRU eviction
+    # or session end (at 10^12 rows checkpoint to a table instead).
     w = Window.partitionBy("_bkt").orderBy(F.asc("_h"), F.asc(id_col))
     in_bucket = base.withColumn(
         "_cum_excl",

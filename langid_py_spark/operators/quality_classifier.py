@@ -52,16 +52,20 @@ DEFAULT_CLF_PATH = str(
     Path(__file__).resolve().parent.parent / "data" / "quality_clf.json"
 )
 
-# Deliberately \b-free and case-fold-free: Java's \b is unicode-aware
+# Deliberately free of \b, (?i), ^ AND $: Java's \b is unicode-aware
 # (it matched nothing in Turkish 'için' where ASCII-\b engines see
-# 'ç' as a boundary and count an 'in' hit — measured divergence), and
-# RE2's (?i) does full unicode case folding while Java's is ASCII.
-# Explicit space/edge delimiters + explicit [Tt]-style classes have ONE
-# meaning in all three engines. Non-overlapping scan means consecutive
-# stopwords ('of the') count once — a deterministic, engine-identical
-# definition of the rate, which is all the classifier needs.
+# 'ç' as a boundary and count an 'in' hit — measured divergence);
+# RE2's (?i) does full unicode case folding while Java's is ASCII;
+# and Java's $ matches BEFORE a final line terminator while RE2's is
+# end-of-text only (measured: 'buy the\n' counts 1 in Spark, 0 in
+# DuckDB — review r05). So: the TEXT is padded with one space on each
+# side and the delimiters are literal spaces — zero anchor/boundary/
+# case-fold semantics anywhere. Non-overlapping scan means consecutive
+# stopwords ('of the') count once, and newline-delimited stopwords
+# don't count — a deterministic, engine-identical definition of the
+# rate, which is all the classifier needs.
 _EN_STOPWORD_PATTERN = (
-    r"(^| )([Tt]he|[Oo]f|[Aa]nd|[Tt]o|[Ii]n|[Ii]s|[Tt]hat|[Ff]or|[Ii]t|[Ww]ith)( |$)"
+    r" ([Tt]he|[Oo]f|[Aa]nd|[Tt]o|[Ii]n|[Ii]s|[Tt]hat|[Ff]or|[Ii]t|[Ww]ith) "
 )
 
 FEATURE_NAMES = [
@@ -90,7 +94,9 @@ def feature_cols(text: Column) -> dict[str, Column]:
         "cjk_frac": F.regexp_count(t, F.lit(C.CJK_CHAR_PATTERN)) / safe_chars,
         "word_density": n_words / safe_chars,
         "mean_word_len": F.least(n_chars / safe_words, F.lit(20.0)),
-        "en_stop_rate": F.regexp_count(t, F.lit(_EN_STOPWORD_PATTERN))
+        "en_stop_rate": F.regexp_count(
+            F.concat(F.lit(" "), t, F.lit(" ")), F.lit(_EN_STOPWORD_PATTERN)
+        )
         / safe_words,
         "line_density": F.least(
             F.regexp_count(t, F.lit("\n")) * F.lit(100.0) / safe_chars,
@@ -115,8 +121,8 @@ def feature_sql(text_expr: str = "text") -> dict[str, str]:
         "word_density": f"({n_words} / {safe_chars})",
         "mean_word_len": f"least({n_chars} / {safe_words}, 20.0)",
         "en_stop_rate": (
-            f"(len(regexp_extract_all({t}, "
-            f"'(^| )([Tt]he|[Oo]f|[Aa]nd|[Tt]o|[Ii]n|[Ii]s|[Tt]hat|[Ff]or|[Ii]t|[Ww]ith)( |$)'))"
+            f"(len(regexp_extract_all(' ' || {t} || ' ', "
+            f"' ([Tt]he|[Oo]f|[Aa]nd|[Tt]o|[Ii]n|[Ii]s|[Tt]hat|[Ff]or|[Ii]t|[Ww]ith) '))"
             f" / {safe_words})"
         ),
         "line_density": f"least(len(regexp_extract_all({t}, chr(10))) * 100.0 / {safe_chars}, 1.0)",
@@ -141,7 +147,7 @@ def feature_py(text: str | None) -> np.ndarray:
             len(re.findall(C.CJK_CHAR_PATTERN, t)) / safe_chars,
             n_words / safe_chars,
             min(n_chars / safe_words, 20.0),
-            len(re.findall(_EN_STOPWORD_PATTERN, t)) / safe_words,
+            len(re.findall(_EN_STOPWORD_PATTERN, " " + t + " ")) / safe_words,
             min(t.count("\n") * 100.0 / safe_chars, 1.0),
         ],
         dtype=np.float64,

@@ -49,6 +49,12 @@ def dtype_sig(df: pd.DataFrame) -> dict[str, str]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracles whose quota/golden inputs depend on the gate SF read this
+    # (e.g. temperature_sample's quota replay) — export BEFORE entry
+    # import so oracle_sql() sees the harness's actual sf_dir
+    import os
+
+    os.environ["LANGID_ORACLE_SF_DIR"] = sf_dir
 
     from pyspark.sql import SparkSession
 

@@ -344,3 +344,28 @@ def test_shipping_priority_plan(spark):
     assert "CartesianProduct" not in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_line_dedup_and_packing_plans(spark):
+    """Line dedup: ONE corpus-scale exchange on the line hash (count +
+    rank share the window partition) — the line text never rides that
+    shuffle twice via a groupBy+join. Packing: the only exchange is the
+    256-bucket window (plus the broadcast of the 256-row base table) —
+    no global single-partition window anywhere."""
+    import re
+
+    from langid_py_spark.operators.dedup import line_dedup_drops
+    from langid_py_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(line_dedup_drops(docs))
+    keys = [m.split("#")[0] for m in re.findall(
+        r"Exchange hashpartitioning\(([^,)]+)", p)]
+    assert keys == ["line_hash"], keys
+
+    pk = _plan(pack_sequences(docs, budget=2048))
+    pkeys = [m.split("#")[0] for m in re.findall(
+        r"Exchange hashpartitioning\(([^,)]+)", pk)]
+    assert pkeys == ["_bkt"], pkeys
+    assert "SinglePartition" not in pk, pk
+    assert "BroadcastExchange" in pk

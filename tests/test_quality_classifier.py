@@ -32,6 +32,9 @@ HOSTILE = [
     "a\nb\nc\nd\ne\nf\n" * 5,
     "supercalifragilisticexpialidocious " * 3,
     "the THE The tHe thé them theater",  # boundary + case + accent cases
+    "buy the\n",   # Java $ matches before a final \n; RE2 does not (review r05)
+    "end with\r\n",  # 1/0/0 across engines under any $-anchored pattern
+    "of the and to",  # consecutive stopwords: non-overlapping scan counts 2
 ]
 
 

@@ -134,9 +134,17 @@ def test_pack_sequences(spark):
     assert (g["start_offset"].iloc[1:].values == ends.iloc[:-1].values).all()
     assert g["start_offset"].iloc[0] == 0
 
-    # custom token column + guard
+    # custom token column must actually be USED (not the \S+ default)
     with_col = docs.withColumn("my_tok", F.length("text"))
     got2 = pack_sequences(with_col, budget=B, n_tokens_col="my_tok").toPandas()
-    assert (got2["n_tokens"] == got2["n_tokens"].astype(int)).all()
+    want_tok = dict(
+        zip(pdf["doc_id"], pdf["text"].fillna("").str.len())
+    )
+    assert all(
+        r.n_tokens == want_tok[r.doc_id] for r in got2.itertuples()
+    )
+    assert not got2.set_index("doc_id")["n_tokens"].equals(
+        got.set_index("doc_id")["n_tokens"]
+    )  # char counts != word counts on this corpus
     with pytest.raises(ValueError):
         pack_sequences(docs, budget=0)
