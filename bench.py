@@ -136,6 +136,7 @@ def main() -> None:
             qs["substring_dup_spans"](spark, sf_dir)
         ),
         "quality_clf": lambda: run_noop(qs["quality_classifier"](spark, sf_dir)),
+        "line_dedup": lambda: run_noop(qs["line_dedup_keep"](spark, sf_dir)),
     }
 
     jif0, steal0 = _cpu_jiffies()
