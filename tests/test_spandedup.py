@@ -37,6 +37,11 @@ def _corpus() -> pd.DataFrame:
         (4, "tiny"),                                         # < k chars
         (5, None),                                           # null text
         (6, "Z" * 120),                                      # self-repetition
+        # astral-plane chars BEFORE a duplicated block: offsets are code
+        # points in Spark, DuckDB AND Python (probed: length/substring
+        # agree on non-BMP in all three) — this doc breaks if any side
+        # ever counts UTF-16 units
+        (7, "\U0001F600\U0001F680 " + LICENSE + " \U0001F600 tail"),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 
@@ -67,8 +72,9 @@ def test_exact_spans_match_duckdb_and_cover_boilerplate(spark):
     want = _exact_spans(pdf, k)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
 
-    # every license copy is inside one reported span
-    for did in (0, 1, 2):
+    # every license copy is inside one reported span (incl. the
+    # astral-prefixed doc 7 — code-point offsets)
+    for did in (0, 1, 2, 7):
         t = pdf.loc[pdf.doc_id == did, "text"].iloc[0]
         s = t.index(LICENSE)
         spans = got[got.doc_id == did]
@@ -135,7 +141,7 @@ def test_winnowed_spans_detect_and_stay_inside_exact(spark):
         .sort_values(["doc_id", "span_start"])
         .reset_index(drop=True)
     )
-    for did in (0, 1, 2):
+    for did in (0, 1, 2, 7):
         t = pdf.loc[pdf.doc_id == did, "text"].iloc[0]
         s = t.index(LICENSE)
         spans = got[got.doc_id == did]
