@@ -233,6 +233,21 @@ _LINE_CORPUS_SQL = (
 )
 
 
+def q_minhash_cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy cross-corpus decontamination (query 56): MinHash BIPARTITE
+    band join of the corpus against an eval-set analogue (docs with
+    id % 10 == 7) — catches paraphrased/re-wrapped benchmark leakage
+    that exact containment and n-gram overlap miss. The ref side is
+    broadcast (eval suites are small); the corpus never shuffles except
+    the candidate-scale dedup. Completes the decontamination ladder:
+    exact containment → n-gram overlap → shingle-Jaccard similarity."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("ref_id"), "text"
+    )
+    return dedup.minhash_cross_pairs(docs, ref, threshold=0.5)
+
+
 def q_line_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level dedup drop list (query 53; Raffel 2020 §2.2 'we
     removed any line that appeared more than once in the corpus'): the
@@ -1005,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "line_dedup_drops": q_line_dedup_drops,
         "line_dedup_keep": q_line_dedup_keep,
+        "minhash_cross_pairs": q_minhash_cross_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1256,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_documents": _golden_sql("perplexity_documents"),
         "rank_languages": _golden_sql("rank_languages"),
         "minhash_pairs": _golden_sql("minhash_pairs"),
+        "minhash_cross_pairs": _golden_sql("minhash_cross_pairs"),
         "simhash_candidates": _golden_sql("simhash_candidates"),
         "winnow_pairs": _golden_sql("winnow_pairs"),
         "srp_ann_topk": _golden_sql("srp_ann_topk"),

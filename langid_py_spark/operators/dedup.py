@@ -515,6 +515,93 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_cross_pairs(
+    df: DataFrame,
+    ref_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_id_col: str = "ref_id",
+    ref_text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    shingle_k: int = 5,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """(doc_id, ref_id, est_jaccard): near-duplicate pairs BETWEEN two
+    corpora — the fuzzy tier of decontamination (PaLM/GPT-4 style:
+    benchmark prompts leak paraphrased and re-wrapped; exact containment
+    and n-gram overlap miss heavier rewrites that shingle-Jaccard
+    catches). `ref_df` is the eval/reference set; `df` the training
+    corpus.
+
+    Same machinery as minhash_lsh_pairs but a BIPARTITE band join: both
+    sides get signatures from the identical UDF (so the estimate is
+    symmetric with the self-join operator), the corpus side explodes to
+    slim (id, band, bhash) rows, and the join is corpus-bands ⋈
+    ref-bands. The ref side is an eval suite — thousands of rows, so
+    Catalyst broadcasts it and the corpus side NEVER shuffles; at most
+    one distinct + two signature re-joins run at candidate scale. Hot
+    boilerplate buckets are dropped from the CORPUS side only (dropping
+    a ref bucket could hide a real contamination)."""
+    from pyspark import StorageLevel
+
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature_udf(n_hashes, shingle_k=shingle_k)
+
+    def bands_of(frame: DataFrame, fid: str, ftext: str, out_id: str) -> DataFrame:
+        # persisted: the signature UDF feeds both the band explode and
+        # the candidate re-join — without it the corpus-scale UDF runs
+        # twice (the minhash_lsh_pairs persist_sigs rationale)
+        base = frame.select(
+            F.col(fid).alias(out_id), sig(F.col(ftext)).alias("sig")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        return base, base.select(
+            out_id,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                F.slice(
+                                    F.col("sig"), bi * rows_per_band + 1, rows_per_band
+                                )
+                            ).alias("bhash"),
+                        )
+                        for bi in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, "bb.band", "bb.bhash")
+
+    corpus_sigs, corpus_bands = bands_of(df, id_col, text_col, "id_a")
+    ref_sigs, ref_bands = bands_of(ref_df, ref_id_col, ref_text_col, "id_b")
+    corpus_bands = _drop_hot_buckets(corpus_bands, ["band", "bhash"], max_bucket)
+    pairs = (
+        corpus_bands.join(F.broadcast(ref_bands), ["band", "bhash"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = corpus_sigs.select(F.col("id_a"), F.col("sig").alias("sig_a"))
+    sb = ref_sigs.select(F.col("id_b"), F.col("sig").alias("sig_b"))
+    matches = _sig_matches_udf()
+    est = F.round(
+        matches(F.col("sig_a"), F.col("sig_b")) / F.lit(float(n_hashes)), 6
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias(ref_id_col),
+            "est_jaccard",
+        )
+    )
+
+
 # -------------------------------------------------------------- simhash
 def simhash_udf(ngram: int = 3):
     """64-bit SimHash over byte n-grams, batch-vectorized with the same

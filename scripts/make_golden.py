@@ -167,6 +167,53 @@ def g_minhash_pairs(docs: pd.DataFrame, threshold: float = 0.5) -> pd.DataFrame:
     )
 
 
+def g_minhash_cross_pairs(
+    docs: pd.DataFrame, threshold: float = 0.5, max_bucket: int = 500
+) -> pd.DataFrame:
+    """Bipartite twin: corpus = documents, ref = doc_id % 10 == 7 (the
+    deterministic eval-set analogue the driver query uses). Pairs from
+    shared band keys (corpus-side hot buckets dropped, matching
+    _drop_hot_buckets on the corpus band table only), estimate from
+    positional signature agreement — same arithmetic as the self-join
+    golden."""
+    from collections import defaultdict
+
+    ref = docs[docs["doc_id"] % 10 == 7].reset_index(drop=True)
+    sig_c = _minhash_sigs(docs["text"])
+    sig_r = _minhash_sigs(ref["text"])
+    ids_c = docs["doc_id"].to_numpy()
+    ids_r = ref["doc_id"].to_numpy()
+    rows_per_band = dedup.N_HASHES // dedup.N_BANDS
+    cand: set[tuple[int, int]] = set()
+    for b in range(dedup.N_BANDS):
+        sl = slice(b * rows_per_band, (b + 1) * rows_per_band)
+        gc: dict[bytes, list[int]] = defaultdict(list)
+        gr: dict[bytes, list[int]] = defaultdict(list)
+        for i, row in zip(ids_c, sig_c[:, sl]):
+            gc[row.tobytes()].append(int(i))
+        for i, row in zip(ids_r, sig_r[:, sl]):
+            gr[row.tobytes()].append(int(i))
+        for key, rids in gr.items():
+            cids = gc.get(key, [])
+            if max_bucket is not None and len(cids) > max_bucket:
+                continue  # corpus-side stop-fingerprint guard
+            for c in cids:
+                for r in rids:
+                    cand.add((c, r))
+    row_c = {int(i): k for k, i in enumerate(ids_c)}
+    row_r = {int(i): k for k, i in enumerate(ids_r)}
+    out = []
+    for c, r in sorted(cand):
+        est = round_half_up(
+            (sig_c[row_c[c]] == sig_r[row_r[r]]).sum() / float(dedup.N_HASHES), 6
+        )
+        if est >= threshold:
+            out.append((c, r, est))
+    return pd.DataFrame(out, columns=["doc_id", "ref_id", "est_jaccard"]).astype(
+        {"doc_id": np.int64, "ref_id": np.int64, "est_jaccard": np.float64}
+    )
+
+
 def g_simhash_candidates(docs: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     a, b = dedup._hash_params(64, seed=777)
     sh = dedup.simhash_batch(docs["text"].fillna("").tolist(), 3, a, b)
@@ -555,6 +602,7 @@ def main() -> None:
         "srp_dup_pairs": g_srp_dup_pairs(emb),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
         "substring_spans_winnowed": g_substring_spans_winnowed(docs),
+        "minhash_cross_pairs": g_minhash_cross_pairs(docs),
         "ccnet_ppl_buckets": g_ccnet_ppl_buckets(docs),
         "ccnet_ppl_buckets_approx": g_ccnet_ppl_buckets(docs, approx=True),
         "media_features": g_media_features(),

@@ -310,3 +310,39 @@ def test_c4_line_dedup(spark):
     # dropped; the empty structural line survives
     assert kept[2] == "\nunique gamma"
     assert kept[5] == ""  # only-line duplicated and non-first -> empty doc
+
+
+def test_minhash_cross_pairs(spark):
+    """Bipartite fuzzy decontamination: a paraphrased eval prompt (few
+    words swapped) is caught against its corpus source; unrelated refs
+    match nothing; the ref side is broadcast in the plan."""
+    import pandas as pd
+
+    from langid_py_spark.operators.dedup import minhash_cross_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the morning sun "
+        "as clouds drift across the summer sky above the quiet town"
+    )
+    words = base.split()
+    # paraphrase: swap 3 words of ~33 (high shingle overlap remains)
+    para = words[:]
+    para[5], para[15], para[25] = "leaps", "observes", "float"
+    corpus_rows = [(0, base), (1, "completely different text about spark query engines and shuffles " * 3)]
+    ref_rows = [(100, " ".join(para)), (101, "nothing shared here at all zzz qqq www eee rrr ttt yyy uuu iii")]
+    docs = spark.createDataFrame(pd.DataFrame(corpus_rows, columns=["doc_id", "text"]))
+    ref = spark.createDataFrame(pd.DataFrame(ref_rows, columns=["ref_id", "text"]))
+
+    out = minhash_cross_pairs(docs, ref, threshold=0.3)
+    got = {(r.doc_id, r.ref_id): r.est_jaccard for r in out.collect()}
+    assert (0, 100) in got and got[(0, 100)] >= 0.3, got
+    assert not any(rid == 101 for _, rid in got), got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # determinism across invocations
+    got2 = {(r.doc_id, r.ref_id): r.est_jaccard for r in minhash_cross_pairs(docs, ref, threshold=0.3).collect()}
+    assert got == got2
