@@ -148,3 +148,35 @@ def test_pack_sequences(spark):
     )  # char counts != word counts on this corpus
     with pytest.raises(ValueError):
         pack_sequences(docs, budget=0)
+
+
+def test_pack_sequences_randomized_matches_naive(spark):
+    """Property check on random shapes: the two-level (256-bucket)
+    prefix sum must equal the naive global cumsum for arbitrary ids and
+    token counts — including empty texts, huge counts and sparse id
+    spaces (bucket-boundary coverage)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from langid_py_spark.operators.packing import pack_sequences
+
+    rng = np.random.RandomState(3)
+    ids = rng.choice(10_000_000, size=400, replace=False).astype("int64")
+    toks = rng.randint(0, 5000, size=400).astype("int64")
+    toks[:5] = 0  # empty docs occupy zero width but still get offsets
+    pdf = pd.DataFrame({"doc_id": ids, "my_tok": toks})
+    docs = spark.createDataFrame(pdf)
+    B = 777
+    got = pack_sequences(
+        docs.withColumn("text", F.lit("")), budget=B, n_tokens_col="my_tok"
+    ).toPandas()
+
+    pdf["h"] = [hashlib.md5(f"{d}s42".encode()).hexdigest() for d in pdf.doc_id]
+    pdf = pdf.sort_values(["h", "doc_id"]).reset_index(drop=True)
+    pdf["start"] = pdf["my_tok"].cumsum() - pdf["my_tok"]
+    want = {r.doc_id: (r.my_tok, r.start, r.start // B) for r in pdf.itertuples()}
+    assert len(got) == 400
+    for r in got.itertuples():
+        assert want[r.doc_id] == (r.n_tokens, r.start_offset, r.bin_id), r.doc_id
