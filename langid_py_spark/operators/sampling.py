@@ -134,8 +134,11 @@ def temperature_targets(
     # the uncapped ones, so a single +1 pass under-fills `total`
     # (ADVICE r04). Each full sweep assigns >= 1 row or breaks, so the
     # loop is bounded by total iterations overall.
+    # None-safe tie-break (a NULL group is a legal category — hostile-
+    # corpus find r05: None < str raises in the bare sort)
     leftovers = sorted(
-        counts, key=lambda g: (-(raw[g] - int(raw[g])), g)
+        counts,
+        key=lambda g: (-(raw[g] - int(raw[g])), g is None, g if g is not None else ""),
     )
     budget = total - sum(out.values())
     while budget > 0:
@@ -214,9 +217,12 @@ def temperature_sample(
     w = Window.partitionBy(group_col).orderBy(
         _hash_col(id_col, salt).asc(), F.col(id_col).asc()
     )
+    # eqNullSafe: a NULL group must join its own quota row, not be
+    # silently dropped (standard equi-join null semantics would)
+    tdf = tdf.withColumnRenamed(group_col, "_tg")
     return (
-        df.join(F.broadcast(tdf), group_col)
+        df.join(F.broadcast(tdf), F.col(group_col).eqNullSafe(F.col("_tg")))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("_target"))
-        .drop("_rk", "_target")
+        .drop("_rk", "_target", "_tg")
     )
