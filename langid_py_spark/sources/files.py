@@ -40,6 +40,63 @@ def read_line_docs(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn("line_no", F.row_number().over(w) - 1)
 
 
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    meta_fields: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """JSONL corpus reader — the de-facto distribution format of public
+    training corpora (C4, The Pile, RedPajama ship as {"text": ...,
+    "meta": ...} lines). Returns the engine's documents shape
+    (doc_id, text, <meta...>, n_chars) so every registered operator
+    runs on it unchanged.
+
+    Corrupt lines do NOT kill a 10^12-line ingest: PERMISSIVE mode
+    routes them to a `_corrupt` column, kept in the output so the
+    caller can count/quarantine them (a silent drop would skew corpus
+    statistics). doc_id defaults to xxhash64(file, line text) —
+    deterministic and stable under re-ingest; pass `id_field` when the
+    corpus carries its own ids. Schema is EXPLICIT (text + requested
+    meta as strings): schema inference would scan the corpus twice and
+    is banned on the ingest path.
+
+    Note: Spark refuses queries whose pruned projection reads ONLY the
+    corrupt column from raw JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    filtering on `_corrupt` therefore requires the parsed frame to be
+    materialized first. A real ingest does that anyway (read → write
+    the bronze parquet table → operate); in exploratory sessions,
+    `.cache()` the returned frame before filtering on `_corrupt`."""
+    from pyspark.sql import types as T
+
+    fields = [T.StructField(text_field, T.StringType())]
+    fields += [T.StructField(m, T.StringType()) for m in meta_fields]
+    if id_field:
+        fields.append(T.StructField(id_field, T.LongType()))
+    fields.append(T.StructField("_corrupt", T.StringType()))
+    schema = T.StructType(fields)
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    doc_id = (
+        F.col(id_field).alias("doc_id")
+        if id_field
+        else F.xxhash64(F.input_file_name(), F.coalesce(F.col(text_field), F.col("_corrupt"), F.lit(""))).alias("doc_id")
+    )
+    t = F.coalesce(F.col(text_field), F.lit(""))
+    return df.select(
+        doc_id,
+        F.col(text_field).alias("text"),
+        *[F.col(m) for m in meta_fields],
+        F.length(t).cast("long").alias("n_chars"),
+        "_corrupt",
+    )
+
+
 def read_corpus_tree(spark: SparkSession, root: str) -> DataFrame:
     """S6: corpus/<domain>/<lang>/<doc> -> (domain, lang, doc_id, path,
     text). Reference: langid/train/index.py::CorpusIndexer (~L50-150),
