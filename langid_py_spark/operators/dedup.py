@@ -84,8 +84,19 @@ def line_dedup_drops(
     web boilerplate, and the corpus-scale shuffle here is one row per
     LINE (vs per char for spans). Pure Catalyst: split → posexplode →
     ONE window over md5(line) (count + rank in the same window
-    partition — one shuffle, the spandedup-measured pattern) → filter.
-    Empty lines are structure, not content — never dropped.
+    partition — one shuffle) → filter. Empty lines are structure, not
+    content — never dropped.
+
+    Formulation note (measured, r05): the groupBy(count, min-struct) +
+    join alternative — attractive because AQE can split skewed JOINS
+    but not skewed window sorts — was A/B'd on both a normal corpus
+    and a 200k-copy hot-line corpus and LOST both (0.61 vs 0.65 s
+    normal, 1.05 vs 0.84 s hot: its second line-table shuffle costs
+    more than the window's per-partition sort). The window stays. A
+    line duplicated ~10^8 times would make one sort partition of GBs —
+    at that point the right fix is semantic (treat mega-boilerplate as
+    a stop-line and drop ALL its occurrences via a pre-count guard),
+    not a plan change.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = (
