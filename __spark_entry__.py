@@ -465,11 +465,17 @@ def _temperature_quotas(sf_dir: str) -> dict[str, int]:
 
     counts = (
         pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])["lang"]
-        .value_counts()
+        .value_counts(dropna=False)  # NULL is a group, not a gap — a
+        # dropped NULL would silently redistribute its quota (review r05)
         .to_dict()
     )
     return temperature_targets(
-        {str(k): int(v) for k, v in counts.items()}, _TEMP_ALPHA, _TEMP_TOTAL
+        {
+            (None if pd.isna(k) else str(k)): int(v)
+            for k, v in counts.items()
+        },
+        _TEMP_ALPHA,
+        _TEMP_TOTAL,
     )
 
 

@@ -450,6 +450,32 @@ def _sig_matches_udf():
     return _matches
 
 
+def _band_explode(
+    sig_df: DataFrame, id_name: str, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """(id, sig) -> slim (id, band, bhash) rows — THE banding arithmetic
+    (slice indexing + xxhash64), shared by the self-join and bipartite
+    operators so the golden-frozen banding can never drift between
+    them."""
+    rows_per_band = n_hashes // n_bands
+    return sig_df.select(
+        id_name,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_name, "bb.band", "bb.bhash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -482,29 +508,13 @@ def minhash_lsh_pairs(
     pass persist_sigs=False to trade recomputation for zero cache
     footprint.
     """
-    rows_per_band = n_hashes // n_bands
     sig = minhash_signature_udf(n_hashes, shingle_k=shingle_k)
     with_sig = df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
     if persist_sigs:
         from pyspark import StorageLevel
 
         with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
-    bands = with_sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
-                        ).alias("bhash"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
+    bands = _band_explode(with_sig, "id", n_hashes, n_bands)
     bands = _drop_hot_buckets(bands, ["band", "bhash"], max_bucket)
     left = bands.select("band", "bhash", F.col("id").alias("id_a"))
     right = bands.select("band", "bhash", F.col("id").alias("id_b"))
@@ -538,6 +548,7 @@ def minhash_cross_pairs(
     n_bands: int = N_BANDS,
     shingle_k: int = 5,
     max_bucket: int | None = 500,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """(doc_id, ref_id, est_jaccard): near-duplicate pairs BETWEEN two
     corpora — the fuzzy tier of decontamination (PaLM/GPT-4 style:
@@ -546,48 +557,35 @@ def minhash_cross_pairs(
     catches). `ref_df` is the eval/reference set; `df` the training
     corpus.
 
-    Same machinery as minhash_lsh_pairs but a BIPARTITE band join: both
-    sides get signatures from the identical UDF (so the estimate is
-    symmetric with the self-join operator), the corpus side explodes to
-    slim (id, band, bhash) rows, and the join is corpus-bands ⋈
-    ref-bands. The ref side is an eval suite — thousands of rows, so
-    Catalyst broadcasts it and the corpus side NEVER shuffles; at most
-    one distinct + two signature re-joins run at candidate scale. Hot
-    boilerplate buckets are dropped from the CORPUS side only (dropping
-    a ref bucket could hide a real contamination)."""
-    from pyspark import StorageLevel
-
-    rows_per_band = n_hashes // n_bands
+    Same machinery as minhash_lsh_pairs but a BIPARTITE band join
+    (banding arithmetic shared via _band_explode — the goldens freeze
+    it once for both operators). The ref side is an eval suite —
+    thousands of rows, so Catalyst broadcasts it and the band JOIN adds
+    no corpus shuffle; the corpus-side exchanges that remain are the
+    hot-bucket guard's groupBy over (band, bhash) — corpus-bands-scale,
+    but map-side combine shrinks it to the distinct-bucket count — and
+    the candidate-scale dedup + signature re-joins. Hot buckets are
+    dropped from the CORPUS side only (dropping a ref bucket could hide
+    a real contamination). `persist_sigs` as in minhash_lsh_pairs: the
+    signature UDF feeds both the band explode and the candidate
+    re-join; pass False to trade recomputation for zero cache
+    footprint (at 10^12 docs use a checkpoint table)."""
     sig = minhash_signature_udf(n_hashes, shingle_k=shingle_k)
 
-    def bands_of(frame: DataFrame, fid: str, ftext: str, out_id: str) -> DataFrame:
-        # persisted: the signature UDF feeds both the band explode and
-        # the candidate re-join — without it the corpus-scale UDF runs
-        # twice (the minhash_lsh_pairs persist_sigs rationale)
+    def sigs_and_bands(
+        frame: DataFrame, fid: str, ftext: str, out_id: str
+    ) -> tuple[DataFrame, DataFrame]:
         base = frame.select(
             F.col(fid).alias(out_id), sig(F.col(ftext)).alias("sig")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        return base, base.select(
-            out_id,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band"),
-                            F.xxhash64(
-                                F.slice(
-                                    F.col("sig"), bi * rows_per_band + 1, rows_per_band
-                                )
-                            ).alias("bhash"),
-                        )
-                        for bi in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(out_id, "bb.band", "bb.bhash")
+        )
+        if persist_sigs:
+            from pyspark import StorageLevel
 
-    corpus_sigs, corpus_bands = bands_of(df, id_col, text_col, "id_a")
-    ref_sigs, ref_bands = bands_of(ref_df, ref_id_col, ref_text_col, "id_b")
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        return base, _band_explode(base, out_id, n_hashes, n_bands)
+
+    corpus_sigs, corpus_bands = sigs_and_bands(df, id_col, text_col, "id_a")
+    ref_sigs, ref_bands = sigs_and_bands(ref_df, ref_id_col, ref_text_col, "id_b")
     corpus_bands = _drop_hot_buckets(corpus_bands, ["band", "bhash"], max_bucket)
     pairs = (
         corpus_bands.join(F.broadcast(ref_bands), ["band", "bhash"])

@@ -170,8 +170,15 @@ def temperature_sample_oracle_sql(
     pattern parameterized by a VALUES quota table."""
     collist = ", ".join(f"t.{c}" for c in cols)
     outlist = ", ".join(cols)
+    # NULL is a legal group (the operator keeps it via eqNullSafe) —
+    # None-safe sort, a NULL VALUES row, and IS NOT DISTINCT FROM so
+    # the twin matches the operator's null semantics exactly
     vals = ", ".join(
-        "('" + g.replace("'", "''") + f"', {int(t)})" for g, t in sorted(targets.items())
+        ("(NULL, " if g is None else "('" + g.replace("'", "''") + "', ")
+        + f"{int(t)})"
+        for g, t in sorted(
+            targets.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+        )
     )
     return f"""
     SELECT {outlist} FROM (
@@ -181,7 +188,7 @@ def temperature_sample_oracle_sql(
                      t.{id_col} ASC
         ) AS _rk
         FROM {table} t JOIN (VALUES {vals}) AS q({group_col}, _target)
-          ON t.{group_col} = q.{group_col}
+          ON t.{group_col} IS NOT DISTINCT FROM q.{group_col}
     ) WHERE _rk <= _target
     """
 

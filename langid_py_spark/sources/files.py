@@ -45,6 +45,7 @@ def read_jsonl_docs(
     path: str,
     text_field: str = "text",
     id_field: str | None = None,
+    id_kind: str = "long",
     meta_fields: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
     """JSONL corpus reader — the de-facto distribution format of public
@@ -53,47 +54,70 @@ def read_jsonl_docs(
     (doc_id, text, <meta...>, n_chars) so every registered operator
     runs on it unchanged.
 
-    Corrupt lines do NOT kill a 10^12-line ingest: PERMISSIVE mode
-    routes them to a `_corrupt` column, kept in the output so the
-    caller can count/quarantine them (a silent drop would skew corpus
-    statistics). doc_id defaults to xxhash64(file, line text) —
-    deterministic and stable under re-ingest; pass `id_field` when the
-    corpus carries its own ids. Schema is EXPLICIT (text + requested
-    meta as strings): schema inference would scan the corpus twice and
-    is banned on the ingest path.
+    Built on the line reader + from_json rather than spark.read.json so
+    every row has a (file, line_no) POSITION, which fixes three review
+    findings at once (r05): the fallback id is xxhash64(file, line_no)
+    — UNIQUE even for byte-identical lines in one file (a text-content
+    hash collides there, and a colliding doc_id makes exact-dedup's
+    anti-join delete both copies); corrupt lines keep that positional
+    id instead of a NULL key; and `_corrupt` is an ordinary computed
+    column, so filtering on it needs no materialization workaround.
 
-    Note: Spark refuses queries whose pruned projection reads ONLY the
-    corrupt column from raw JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
-    filtering on `_corrupt` therefore requires the parsed frame to be
-    materialized first. A real ingest does that anyway (read → write
-    the bronze parquet table → operate); in exploratory sessions,
-    `.cache()` the returned frame before filtering on `_corrupt`."""
+    Corrupt lines do NOT kill a 10^12-line ingest: from_json's
+    PERMISSIVE mode leaves the malformed raw line in `_corrupt`, kept
+    in the output so the caller can count/quarantine (a silent drop
+    would skew corpus statistics). `id_field` reads the corpus's own
+    ids; id_kind='long' casts (non-numeric → positional fallback),
+    id_kind='string' hashes the string id — string/UUID ids must never
+    be force-cast by the JSON parser (that quarantines the whole
+    corpus as corrupt). Schema is EXPLICIT: inference would scan the
+    corpus twice and is banned on the ingest path.
+
+    Scale note: line_no comes from the shared read_line_docs window
+    (per-file partition); a single multi-GB file sorts as one
+    partition at ingest — the usual corpus layout (many files) spreads
+    it, and the bronze-table write that follows ingestion rebalances."""
     from pyspark.sql import types as T
 
+    if id_kind not in ("long", "string"):
+        raise ValueError("id_kind must be 'long' or 'string'")
     fields = [T.StructField(text_field, T.StringType())]
     fields += [T.StructField(m, T.StringType()) for m in meta_fields]
     if id_field:
-        fields.append(T.StructField(id_field, T.LongType()))
+        fields.append(T.StructField(id_field, T.StringType()))
     fields.append(T.StructField("_corrupt", T.StringType()))
     schema = T.StructType(fields)
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(path)
+
+    lines = read_line_docs(spark, path)  # (path, line_no, text=raw line)
+    parsed = lines.select(
+        "path",
+        "line_no",
+        F.from_json(
+            F.col("text"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("_j"),
     )
-    doc_id = (
-        F.col(id_field).alias("doc_id")
-        if id_field
-        else F.xxhash64(F.input_file_name(), F.coalesce(F.col(text_field), F.col("_corrupt"), F.lit(""))).alias("doc_id")
-    )
-    t = F.coalesce(F.col(text_field), F.lit(""))
-    return df.select(
-        doc_id,
-        F.col(text_field).alias("text"),
-        *[F.col(m) for m in meta_fields],
+    corrupt = F.col("_j._corrupt")
+    pos_id = F.xxhash64("path", "line_no")
+    if id_field:
+        own = F.col(f"_j.{id_field}")
+        doc_id = (
+            # try_cast: ANSI mode makes .cast() THROW on 'uuid-…' ids;
+            # malformed/missing ids fall back to the positional id
+            F.coalesce(own.try_cast("long"), pos_id)
+            if id_kind == "long"
+            else F.when(own.isNotNull(), F.xxhash64(own)).otherwise(pos_id)
+        )
+    else:
+        doc_id = pos_id
+    t = F.coalesce(F.col(f"_j.{text_field}"), F.lit(""))
+    return parsed.select(
+        doc_id.alias("doc_id"),
+        F.col(f"_j.{text_field}").alias("text"),
+        *[F.col(f"_j.{m}").alias(m) for m in meta_fields],
         F.length(t).cast("long").alias("n_chars"),
-        "_corrupt",
+        corrupt.alias("_corrupt"),
     )
 
 
