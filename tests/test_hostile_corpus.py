@@ -29,6 +29,9 @@ DOC_QUERIES = [
     "contamination_scan", "contamination_scan_join",
     "ccnet_ppl_buckets", "ccnet_ppl_buckets_approx", "rank_languages",
     "byte_ngram_df_topk",
+    # events family (hostile events.parquet: NULL users/types, equal
+    # timestamps, NaN values, one mega-user)
+    "user_top_event", "sessionize_events", "running_totals",
 ]
 
 
@@ -82,6 +85,27 @@ def hostile_sf_dir(spark, tmp_path_factory):
     )
     docs.to_parquet(root / "documents.parquet", index=False)
     emb.to_parquet(root / "embeddings.parquet", index=False)
+    # hostile events: NULL users/types/values, identical timestamps
+    # (tie-break exercise), a single mega-user (window skew), NaN value
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(50, dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00"] * 10          # all-equal timestamps
+                + list(pd.date_range("2026-01-01", periods=40, freq="17min"))
+            ),
+            "user_id": pd.array(
+                [None] * 5 + [1] * 35 + [2, 2, 3, 3, 3] + [None] * 5,
+                dtype="Int64",
+            ),
+            "event_type": ["click"] * 20 + [None] * 10 + ["view"] * 20,
+            "value": [np.nan] * 5 + list(np.linspace(-1e9, 1e9, 45)),
+            "props": ["{}"] * 50,
+        }
+    )
+    # microsecond units: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(root / "events.parquet", index=False)
     return str(root)
 
 
