@@ -262,3 +262,47 @@ def test_stateful_exact_dedup_across_microbatches(spark, tmp_path):
     # survivors: alpha -> 3 (min of batch1 dups; batch2's id 1 suppressed),
     # beta -> 10, gamma -> 7, delta -> 2
     assert rows == {3, 10, 7, 2}
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """The decontamination scan is streaming-compatible AS-IS: the
+    map + broadcast-join plan (no aggregation, no state) runs under
+    readStream unchanged, and the streamed result set equals the batch
+    result — the property a continuous-ingest pipeline needs to drop
+    contaminated docs at arrival time."""
+    import pandas as pd
+
+    from langid_py_spark.operators.contamination import contamination_scan_join
+
+    src = str(tmp_path / "in")
+    docs_pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    spark.createDataFrame(docs_pdf).repartition(4).write.parquet(src)
+    needles = ["scan", "hash join", "customer query", "zzz-absent-canary"]
+
+    batch = {
+        (r.doc_id, r.needle)
+        for r in contamination_scan_join(
+            spark.read.parquet(src), needles, k=4
+        ).collect()
+    }
+
+    stream_in = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        contamination_scan_join(stream_in, needles, k=4)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.doc_id, r.needle) for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
