@@ -306,3 +306,51 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_streaming_classifier_matches_batch(spark, tmp_path):
+    """The quality-classifier tier (pure Catalyst dot product) and the
+    importance sampler run under readStream unchanged — score-at-arrival
+    for a continuous ingest, byte-identical to batch."""
+    import pandas as pd
+
+    from langid_py_spark.operators.quality_classifier import (
+        classifier_importance_sample,
+        score_quality_classifier,
+    )
+
+    src = str(tmp_path / "in")
+    docs_pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    spark.createDataFrame(docs_pdf).repartition(4).write.parquet(src)
+
+    batch_scores = {
+        r.doc_id: (r.clf_score, r.clf_keep)
+        for r in score_quality_classifier(spark.read.parquet(src)).collect()
+    }
+    batch_kept = {
+        r.doc_id for r in classifier_importance_sample(
+            spark.read.parquet(src)
+        ).collect()
+    }
+
+    stream_in = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        classifier_importance_sample(score_quality_classifier(stream_in).join(
+            stream_in, "doc_id"
+        ).select("doc_id", "text", "clf_score", "clf_keep"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in got} == batch_kept
+    for r in got:
+        assert (r.clf_score, r.clf_keep) == batch_scores[r.doc_id], r.doc_id
