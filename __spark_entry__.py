@@ -1223,7 +1223,7 @@ def oracle_sql() -> dict[str, str]:
                            row_number() OVER (PARTITION BY lang
                                               ORDER BY count(*) DESC, word ASC) AS rk
                     FROM (SELECT lang,
-                                 unnest(regexp_extract_all(text, '\\S+')) AS word
+                                 unnest(regexp_extract_all(text, '{C.WORD_RUN_PATTERN}')) AS word
                           FROM documents)
                     GROUP BY lang, word
                 ) WHERE rk <= 20

@@ -25,16 +25,31 @@ MAX_PERPLEXITY = 5000.0  # r_high_ppl (byte-trigram LM)
 # CJK chars count as words (whitespace tokenization undercounts zh/ja/ko)
 CJK_RANGE = "一-鿿぀-ヿ가-힯"
 CJK_CHAR_PATTERN = f"[{CJK_RANGE}]"
+# Explicit ASCII whitespace class instead of \s / \S: Java's \s is
+# [ \t\n\x0B\f\r]; RE2's \s is [\t\n\f\r ] (EXCLUDES \x0B — so RE2's \S
+# counts a vertical tab as a word char where Java's doesn't); Python's
+# unicode \s additionally swallows \xa0/ /…. The explicit class
+# below is the ONE spelling that means the same character set in all
+# three engines (\xhh two-digit escapes are interpreted identically by
+# Java regex, RE2, and Python re — unlike \x{...}, which Python rejects).
+# For Spark the class is semantically IDENTICAL to Java's \S (same five
+# chars), so swapping it in changes no Spark-side value — it only fixes
+# the RE2 side of each oracle pair (ADVICE r05).
+NON_WS_CLASS = r"[^ \t\n\f\r\x0b]"
+WORD_RUN_PATTERN = NON_WS_CLASS + "+"  # the \S+ replacement, all engines
+WS_RUN_PATTERN = r"[ \t\n\f\r\x0b]+"  # the \s+ replacement, all engines
 # Long-word rule: "a run of >MAX_WORD_LEN consecutive non-space non-CJK
 # chars exists". Evaluated as: replace CJK chars with a space (POSITIVE
-# unicode class — fast in Java regex), then search \S{MAX_WORD_LEN+1}.
-# Measured: a NEGATED class containing CJK ranges ([^\s一-...]{61}) is
-# ~40x slower in Java regex than \S{61} (loses the class fast path), and
-# the split+transform alternative is a HigherOrderFunction →
-# CodegenFallback → drags the whole fused Project into interpreted,
-# GC-bound evaluation that stops scaling past ~8 threads.
-WORD_BOUNDARY_PATTERN = f"[\\s{CJK_RANGE}]+"  # python/duckdb splits elsewhere
-LONG_WORD_RUN_PATTERN = f"\\S{{{MAX_WORD_LEN + 1}}}"
+# unicode class — fast in Java regex), then search a fixed-width non-ws
+# window. Measured: a NEGATED class containing CJK ranges
+# ([^\s一-...]{61}) is ~40x slower in Java regex than a short ASCII-only
+# class (loses the class fast path), and the split+transform alternative
+# is a HigherOrderFunction → CodegenFallback → drags the whole fused
+# Project into interpreted, GC-bound evaluation that stops scaling past
+# ~8 threads. The explicit five-char negated class keeps the fast path
+# (re-benched r06: rules row unchanged vs \S{61}).
+WORD_BOUNDARY_PATTERN = f"[ \\t\\n\\f\\r\\x0b{CJK_RANGE}]+"  # python/duckdb splits elsewhere
+LONG_WORD_RUN_PATTERN = f"{NON_WS_CLASS}{{{MAX_WORD_LEN + 1}}}"
 ALPHA_PATTERN = r"\p{L}"  # Java + RE2; Python oracle uses str.isalpha()
 DIGIT_PATTERN = "[0-9]"
 

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from langid_py_spark import config as C
+
 # ---------------------------------------------------------------- exact
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(text_hash, n_dups, keep_id): groups with >1 identical docs."""
@@ -222,7 +224,7 @@ def word_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(
         F.col(id_col),
         F.array_distinct(
-            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+            F.regexp_extract_all(F.col(text_col), F.lit(C.WORD_RUN_PATTERN), F.lit(0))
         ).alias("words"),
     )
 
@@ -282,7 +284,7 @@ def jaccard_pairs_oracle_sql(
     return f"""
     WITH ws AS (
         SELECT {id_col} AS id,
-               list_distinct(regexp_extract_all(text, '\\S+')) AS words
+               list_distinct(regexp_extract_all(text, '{C.WORD_RUN_PATTERN}')) AS words
         FROM (SELECT * FROM {table} ORDER BY {id_col} ASC LIMIT {max_docs})
     )
     SELECT a.id AS id_a, b.id AS id_b,

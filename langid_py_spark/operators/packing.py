@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from langid_py_spark import config as C
+
 
 def pack_sequences(
     df: DataFrame,
@@ -55,7 +57,7 @@ def pack_sequences(
     n_tokens = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col
-        else F.regexp_count(t, F.lit(r"\S+")).cast("long")
+        else F.regexp_count(t, F.lit(C.WORD_RUN_PATTERN)).cast("long")
     )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     from pyspark import StorageLevel
@@ -93,11 +95,13 @@ def pack_sequences(
     start = F.col("_base") + F.col("_cum_excl")
     return (
         in_bucket.join(F.broadcast(base_df), "_bkt")
-        .select(
-            id_col,
-            "n_tokens",
-            start.alias("start_offset"),
-            F.floor(start / F.lit(float(budget))).cast("long").alias("bin_id"),
+        .select(id_col, "n_tokens", start.alias("start_offset"))
+        # integer DIV, not floor(double /): double division loses
+        # exactness once cumulative offsets pass 2^53 tokens — at odds
+        # with the operator's integer-arithmetic claim (ADVICE r05).
+        # start_offset >= 0 so trunc-div == floor-div.
+        .withColumn(
+            "bin_id", F.expr(f"start_offset DIV {int(budget)}").cast("long")
         )
     )
 
@@ -113,7 +117,7 @@ def pack_sequences_oracle_sql(
     return f"""
     WITH base AS (
         SELECT {id_col},
-               CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+')) AS BIGINT)
+               CAST(len(regexp_extract_all(coalesce(text, ''), '{C.WORD_RUN_PATTERN}')) AS BIGINT)
                    AS n_tokens,
                md5(CAST({id_col} AS VARCHAR) || '{salt}') AS h
         FROM {table}
@@ -128,6 +132,8 @@ def pack_sequences_oracle_sql(
         FROM base
     )
     SELECT {id_col}, n_tokens, start_offset,
-           CAST(floor(start_offset / {float(budget)!r}) AS BIGINT) AS bin_id
+           -- // is DuckDB integer division (exact at any offset, like
+           -- Spark's DIV); start_offset >= 0 so trunc == floor
+           CAST(start_offset // {int(budget)} AS BIGINT) AS bin_id
     FROM offs
     """

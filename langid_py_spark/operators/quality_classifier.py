@@ -73,8 +73,8 @@ FEATURE_NAMES = [
     "ascii_alpha_frac",
     "digit_frac",
     "cjk_frac",
-    "word_density",    # \S+ runs per char
-    "mean_word_len",   # chars per \S+ run, capped at 20
+    "word_density",    # non-ws runs per char (C.WORD_RUN_PATTERN)
+    "mean_word_len",   # chars per non-ws run, capped at 20
     "en_stop_rate",    # English stopword hits per word
     "line_density",    # newlines per 100 chars, capped at 1
 ]
@@ -85,7 +85,7 @@ def feature_cols(text: Column) -> dict[str, Column]:
     t = F.coalesce(text, F.lit(""))
     n_chars = F.length(t)
     safe_chars = F.greatest(n_chars, F.lit(1))
-    n_words = F.regexp_count(t, F.lit(r"\S+"))
+    n_words = F.regexp_count(t, F.lit(C.WORD_RUN_PATTERN))
     safe_words = F.greatest(n_words, F.lit(1))
     return {
         "len_norm": F.least(n_chars / F.lit(1000.0), F.lit(1.0)),
@@ -110,7 +110,7 @@ def feature_sql(text_expr: str = "text") -> dict[str, str]:
     t = f"coalesce({text_expr}, '')"
     n_chars = f"length({t})"
     safe_chars = f"greatest({n_chars}, 1)"
-    n_words = f"len(regexp_extract_all({t}, '\\S+'))"
+    n_words = f"len(regexp_extract_all({t}, '{C.WORD_RUN_PATTERN}'))"
     safe_words = f"greatest({n_words}, 1)"
     cjk = C.CJK_CHAR_PATTERN
     return {
@@ -136,7 +136,7 @@ def feature_py(text: str | None) -> np.ndarray:
     t = text or ""
     n_chars = len(t)
     safe_chars = max(n_chars, 1)
-    words = re.findall(r"[^ \t\n\f\r\x0b]+", t)  # \S+ over ASCII ws
+    words = re.findall(C.WORD_RUN_PATTERN, t)  # explicit ASCII-ws class
     n_words = len(words)
     safe_words = max(n_words, 1)
     return np.array(

@@ -13,10 +13,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-WORD_PATTERN = r"\S+"
+from langid_py_spark import config as C
+
+WORD_PATTERN = C.WORD_RUN_PATTERN  # explicit ws class, not \S (ADVICE r05)
 # BPE-ish token regex: letter runs, digit runs, or single non-space symbol
-TOKEN_PATTERN = r"\p{L}+|[0-9]+|[^\p{L}0-9\s]"
-TOKEN_PATTERN_RE2 = r"\p{L}+|[0-9]+|[^\p{L}0-9\s]"
+# (explicit ws chars in the negated class — in-class \s has the same
+# Java/RE2 \x0B divergence as bare \S)
+TOKEN_PATTERN = r"\p{L}+|[0-9]+|[^\p{L}0-9 \t\n\f\r\x0b]"
+TOKEN_PATTERN_RE2 = TOKEN_PATTERN
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,7 +50,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def token_stats_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     t = "coalesce(text, '')"
     n_chars = f"length({t})"
-    n_words = f"len(regexp_extract_all({t}, '\\S+'))"
+    n_words = f"len(regexp_extract_all({t}, '{WORD_PATTERN}'))"
     n_tokens = f"len(regexp_extract_all({t}, '{TOKEN_PATTERN_RE2}'))"
     n_alpha = f"len(regexp_extract_all({t}, '\\p{{L}}'))"
     n_digit = f"len(regexp_extract_all({t}, '[0-9]'))"
@@ -71,7 +75,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     near-exact dedup keys. crc32 included as a cheap rolling-hash-style
     checksum. All JVM-side built-ins."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    norm = F.regexp_replace(F.lower(t), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(t), C.WS_RUN_PATTERN, " ")
     return df.select(
         F.col(id_col),
         F.md5(t).alias("fp_md5"),
@@ -82,7 +86,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def doc_fingerprint_oracle_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     t = "coalesce(text, '')"
-    norm = f"regexp_replace(lower({t}), '\\s+', ' ', 'g')"
+    norm = f"regexp_replace(lower({t}), '{C.WS_RUN_PATTERN}', ' ', 'g')"
     # DuckDB has no crc32 → oracle covers md5 columns; crc32 is unit-tested
     return f"""
     SELECT {id_col}, md5({t}) AS fp_md5, md5({norm}) AS fp_norm_md5
@@ -111,7 +115,7 @@ def word_df_tally_oracle_sql(table: str = "documents", id_col: str = "doc_id") -
     return f"""
     SELECT word, count(*) AS df FROM (
         SELECT DISTINCT {id_col},
-               unnest(regexp_extract_all(text, '\\S+')) AS word
+               unnest(regexp_extract_all(text, '{WORD_PATTERN}')) AS word
         FROM {table}
     ) GROUP BY word
     """
@@ -155,7 +159,7 @@ def topk_words_oracle_sql(table: str = "documents", group_col: str = "lang", k: 
         FROM (
             SELECT {group_col}, word, count(*) AS n FROM (
                 SELECT {group_col},
-                       unnest(regexp_extract_all(text, '\\S+')) AS word
+                       unnest(regexp_extract_all(text, '{WORD_PATTERN}')) AS word
                 FROM {table}
             ) GROUP BY 1, 2
         )

@@ -76,7 +76,22 @@ def read_jsonl_docs(
     Scale note: line_no comes from the shared read_line_docs window
     (per-file partition); a single multi-GB file sorts as one
     partition at ingest — the usual corpus layout (many files) spreads
-    it, and the bronze-table write that follows ingestion rebalances."""
+    it, and the bronze-table write that follows ingestion rebalances.
+
+    Collision bound (ADVICE r05): the positional fallback id is ONE
+    64-bit hash, so by the birthday bound a 10^12-line ingest expects
+    ~10^24/2^65 ≈ 2.7e4 colliding PAIRS — and a collided doc_id is
+    exactly the failure the docstring above warns about (exact-dedup's
+    anti-join deletes both colliding docs: ~5e4 docs lost per trillion,
+    a 5e-8 loss rate). For corpora at that scale pass `id_field` (the
+    corpus's own unique id, hashed the same way only when id_kind=
+    'string' — same bound — or used directly as a long), or treat the
+    bronze (path, line_no) pair, which this reader keeps 1:1 with
+    doc_id at write time, as the recovery key. The bound is documented
+    rather than widened because every downstream operator keys on a
+    single long doc_id (a deliberate engine-wide contract: fixed 8-byte
+    shuffle keys); a 128-bit id would double every dedup shuffle's key
+    width to close a 5e-8 hole."""
     from pyspark.sql import types as T
 
     if id_kind not in ("long", "string"):

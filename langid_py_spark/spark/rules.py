@@ -22,10 +22,11 @@ from langid_py_spark import config as C
 def n_words_expr(text: Column) -> Column:
     """Non-whitespace runs + CJK chars (each CJK char counts as one word).
 
-    ``\\S+`` runs instead of trim+split: trim/strip whitespace sets differ
-    between Spark, DuckDB and Python, ``\\S`` does not (for ASCII ws).
+    Non-ws runs instead of trim+split: trim/strip whitespace sets differ
+    between Spark, DuckDB and Python; the explicit ``C.WORD_RUN_PATTERN``
+    class does not (\\S would — RE2's \\s excludes \\x0B, ADVICE r05).
     """
-    return F.regexp_count(text, F.lit(r"\S+")) + F.regexp_count(
+    return F.regexp_count(text, F.lit(C.WORD_RUN_PATTERN)) + F.regexp_count(
         text, F.lit(C.CJK_CHAR_PATTERN)
     )
 
@@ -40,12 +41,12 @@ def rule_columns(text: Column) -> dict[str, Column]:
     n_lines = F.size(lines)
     n_distinct_lines = F.size(F.array_distinct(lines))
     return {
-        # rlike short-circuits at the first \S; a regexp_count would scan all
-        "r_empty": ~t.rlike(r"\S"),
+        # rlike short-circuits at the first non-ws; regexp_count scans all
+        "r_empty": ~t.rlike(C.NON_WS_CLASS),
         "r_too_short": n_words_expr(t) < C.MIN_WORDS,
         "r_too_long": n_chars > C.MAX_CHARS,
-        # CJK→space (positive class, fast) then fixed \S window (codegen,
-        # no HOF, no negated-unicode class — see config.py)
+        # CJK→space (positive class, fast) then fixed non-ws window
+        # (codegen, no HOF, no negated-unicode class — see config.py)
         "r_long_word": F.regexp_replace(t, C.CJK_CHAR_PATTERN, " ").rlike(
             C.LONG_WORD_RUN_PATTERN
         ),
@@ -80,14 +81,14 @@ def duckdb_rule_sql(text_expr: str = "text") -> dict[str, str]:
     n_chars = f"length({t})"
     n_alpha = f"len(regexp_extract_all({t}, '\\p{{L}}'))"
     n_digit = f"len(regexp_extract_all({t}, '[0-9]'))"
-    n_ws_words = f"len(regexp_extract_all({t}, '\\S+'))"
+    n_ws_words = f"len(regexp_extract_all({t}, '{C.WORD_RUN_PATTERN}'))"
     n_cjk = f"len(regexp_extract_all({t}, '{C.CJK_CHAR_PATTERN}'))"
     n_words = f"({n_ws_words} + {n_cjk})"
     lines = f"string_split({t}, chr(10))"
     n_lines = f"len({lines})"
     n_dlines = f"len(list_distinct({lines}))"
     return {
-        "r_empty": f"(NOT regexp_matches({t}, '\\S'))",
+        "r_empty": f"(NOT regexp_matches({t}, '{C.NON_WS_CLASS}'))",
         "r_too_short": f"({n_words} < {C.MIN_WORDS})",
         "r_too_long": f"({n_chars} > {C.MAX_CHARS})",
         "r_long_word": (
@@ -111,7 +112,7 @@ def python_rule_oracle(text: str | None) -> dict[str, bool]:
     n_chars = len(t)
     n_alpha = sum(ch.isalpha() for ch in t)  # == \p{L} (categories Lu..Lo)
     n_digit = sum("0" <= ch <= "9" for ch in t)
-    ws_words = len(re.findall(r"[^ \t\n\f\r\x0b]+", t))
+    ws_words = len(re.findall(C.WORD_RUN_PATTERN, t))
     n_cjk = len(re.findall(C.CJK_CHAR_PATTERN, t))
     n_words = ws_words + n_cjk
     lines = t.split("\n")

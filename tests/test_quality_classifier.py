@@ -35,6 +35,12 @@ HOSTILE = [
     "buy the\n",   # Java $ matches before a final \n; RE2 does not (review r05)
     "end with\r\n",  # 1/0/0 across engines under any $-anchored pattern
     "of the and to",  # consecutive stopwords: non-overlapping scan counts 2
+    # \x0B: Java \s includes it, RE2's does not — a bare \S+ silently
+    # diverges between engine and oracle exactly here (ADVICE r05);
+    # the explicit C.WORD_RUN_PATTERN class must agree 3-ways
+    "vertical\x0btab splits\x0bnothing in re2",
+    "\x0b\x0b\x0b",  # whitespace-only under Java/Python, 'words' under RE2 \S
+    "mix \x0b\tof\fweird\rws\x0b chars",
 ]
 
 

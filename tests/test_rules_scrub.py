@@ -35,6 +35,13 @@ ADVERSARIAL = [
     "日本語のテキストです。これはテストです。",
     "1 2 3 4 5 6 7 8 9 10 11 12",
     "<EMAIL> already scrubbed a@b.com",
+    # \x0B probes (ADVICE r05): bare \S/\s diverge between Java (ws)
+    # and RE2 (non-ws) exactly on vertical tab — these pin the explicit
+    # C.NON_WS_CLASS spelling in r_empty / n_words / long-word
+    "\x0b",
+    "\x0b \x0b \x0b",
+    "one\x0btwo three",
+    "q" * 40 + "\x0b" + "q" * 40,  # \x0b must BREAK the long-word run 3-ways
 ]
 
 

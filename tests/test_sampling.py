@@ -7,6 +7,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from langid_py_spark import config as C
+
 from langid_py_spark.operators.sampling import (
     balanced_sample,
     hash_sample,
@@ -115,7 +117,9 @@ def test_pack_sequences(spark):
     got = pack_sequences(docs, budget=B).toPandas()
 
     pdf = docs.select("doc_id", "text").toPandas()
-    pdf["n_tokens"] = pdf["text"].fillna("").str.findall(r"\S+").str.len()
+    pdf["n_tokens"] = (
+        pdf["text"].fillna("").str.findall(C.WORD_RUN_PATTERN).str.len()
+    )
     pdf["h"] = [
         hashlib.md5(f"{d}s42".encode()).hexdigest() for d in pdf["doc_id"]
     ]

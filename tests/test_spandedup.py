@@ -152,15 +152,29 @@ def test_winnowed_spans_detect_and_stay_inside_exact(spark):
             for r in spans.itertuples()
         ), (did, s, spans)
     assert not set(got.doc_id) & {3, 4, 5}
-    # containment: each winnowed span inside SOME exact span of its doc,
-    # allowing the winnowed path's larger merge gap (k + w) to bridge
-    # exact spans separated by < w extra chars
+    # containment: each winnowed span must be covered by the UNION of
+    # the doc's exact spans dilated by the winnowed path's merge slack
+    # (k + w) — the dilation is what lets winnowing bridge exact spans
+    # separated by a small gap, and the union (not any-single-span)
+    # check keeps the property meaningful for multi-span docs (the old
+    # `or len(ex) > 1` escape hatch passed vacuously there — ADVICE r05)
+    slack = k + w
     for r in got.itertuples():
         ex = exact[exact.doc_id == r.doc_id]
-        assert any(
-            (e.span_start <= r.span_start) and (r.span_end <= e.span_end + w)
+        assert len(ex) > 0, r
+        dilated = sorted(
+            (max(0, e.span_start - slack), e.span_end + slack)
             for e in ex.itertuples()
-        ) or len(ex) > 1, r
+        )
+        merged = [list(dilated[0])]
+        for s0, e0 in dilated[1:]:
+            if s0 <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e0)
+            else:
+                merged.append([s0, e0])
+        assert any(
+            s0 <= r.span_start and r.span_end <= e0 for s0, e0 in merged
+        ), (r, merged)
 
 
 def test_cut_spans_splices_exactly(spark):
