@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from langid_py_spark import config as C
 from langid_py_spark.operators import (
     contamination,
+    corpus_pipeline as corpus_pipeline_mod,
     dedup,
     packing,
     quality_classifier,
@@ -264,6 +265,31 @@ def q_line_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruct is an anti-join on (doc_id, line_idx) + per-doc ordered
     array_join; byte-exact compare over the full rebuilt text."""
     return dedup.line_dedup_keep(_line_corpus(spark, sf_dir))
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-data DAG (query 57, VERDICT r05
+    item 2): exact dedup → C4 line dedup → span cut → decontamination →
+    rules → classifier importance sampling → packing, over the line
+    corpus (the neighbor-concat derivation that gives the line tier
+    real cross-document duplication — raw fixture docs have no
+    newlines). Pins the cross-tier column contracts and byte-exact text
+    composition that 56 isolated checks cannot: the output's pack
+    offsets shift if any upstream tier drops, keeps, or rewrites one
+    row differently. Oracle = the same seven stages as chained CTEs of
+    each tier's independent DuckDB twin.
+
+    Parameter choices keep EVERY stage non-vacuous at sf0.01 (measured:
+    499 -> 425 decontam -> 378 rules -> 139 sampled/packed): the rarer
+    needle sublist (the full list's 'scan'/'vector' hit 80% of fixture
+    docs and annihilated the chain), k_span=40 (k=30 cut keyword-soup
+    texts below the rules' word floor), sampler floor 0.3."""
+    return corpus_pipeline_mod.corpus_pipeline(
+        _line_corpus(spark, sf_dir),
+        _PIPELINE_NEEDLES,
+        k_span=40,
+        floor=0.3,
+    )
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,6 +855,15 @@ _CONTAMINATION_NEEDLES = [
     "zzz-held-out-canary-000",  # absent: the scan must emit nothing for it
 ]
 
+# the corpus_pipeline decontam list: the rarer needles only ('scan' /
+# 'vector' are in 80% of fixture docs — using them empties the chain)
+_PIPELINE_NEEDLES = [
+    "scan slow",
+    "hash join",
+    "customer query",
+    "zzz-held-out-canary-000",
+]
+
 
 def q_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination scan: all (doc, needle) containment
@@ -1026,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "line_dedup_drops": q_line_dedup_drops,
         "line_dedup_keep": q_line_dedup_keep,
+        "corpus_pipeline": q_corpus_pipeline,
         "minhash_cross_pairs": q_minhash_cross_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1126,6 +1162,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": dedup.jaccard_pairs_oracle_sql("documents", threshold=0.6),
         "line_dedup_drops": dedup.line_dedup_drops_oracle_sql(_LINE_CORPUS_SQL),
         "line_dedup_keep": dedup.line_dedup_keep_oracle_sql(_LINE_CORPUS_SQL),
+        "corpus_pipeline": corpus_pipeline_mod.corpus_pipeline_oracle_sql(
+            _PIPELINE_NEEDLES, table=_LINE_CORPUS_SQL, k_span=40, floor=0.3
+        ),
         "cosine_topk": similarity.cosine_topk_oracle_sql("embeddings", n_queries=5, k=5),
         "embedding_dup_pairs": """
             WITH e AS (

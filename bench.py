@@ -48,6 +48,47 @@ def _cpu_jiffies() -> tuple[int, int]:
         return 0, 0
 
 
+def _calibrate() -> tuple[float, float]:
+    """Fixed-work contention probes (r06, VERDICT r05 item 3): the r05
+    driver bench regressed 28.4k→18.9k turns/s on UNCHANGED code while
+    steal read only 0.92% — ambient memory-bandwidth/SMT contention is
+    invisible to /proc/stat. Two single-threaded NumPy probes expose it:
+
+    * calib_gflops — 256x256 einsum matmul (einsum never dispatches to
+      threaded BLAS, so the probe is deterministic and single-thread):
+      CPU/SMT-contention channel.
+    * calib_membw_gbs — 64 MB streaming sum: DRAM-bandwidth channel.
+
+    Run before AND after the timed section; the MIN of each pair is
+    reported (contention can start mid-bench). Readers should discount
+    a bench line whose calib numbers are well below the round's
+    committed clean-window values instead of chasing code regressions.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(256, 256)
+    b = rng.rand(256, 256)
+    # warm
+    np.einsum("ij,jk->ik", a, b)
+    t0 = time.perf_counter()
+    it = 0
+    while time.perf_counter() - t0 < 0.3:
+        np.einsum("ij,jk->ik", a, b)
+        it += 1
+    gflops = it * 2 * 256**3 / (time.perf_counter() - t0) / 1e9
+
+    big = rng.rand(8_000_000)  # 64 MB >> LLC: streams DRAM
+    big.sum()
+    t0 = time.perf_counter()
+    it = 0
+    while time.perf_counter() - t0 < 0.3:
+        big.sum()
+        it += 1
+    membw = it * big.nbytes / (time.perf_counter() - t0) / 1e9
+    return round(gflops, 3), round(membw, 2)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -137,8 +178,14 @@ def main() -> None:
         ),
         "quality_clf": lambda: run_noop(qs["quality_classifier"](spark, sf_dir)),
         "line_dedup": lambda: run_noop(qs["line_dedup_keep"](spark, sf_dir)),
+        # r06: the composed seven-stage corpus DAG (dedup -> line dedup
+        # -> span cut -> decontam -> rules -> clf sample -> pack)
+        "corpus_pipeline": lambda: run_noop(
+            qs["corpus_pipeline"](spark, sf_dir)
+        ),
     }
 
+    calib_pre = _calibrate()
     jif0, steal0 = _cpu_jiffies()
     timings: dict[str, float] = {}
     for name, fn in operator_benches.items():
@@ -150,6 +197,7 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
 
+    calib_post = _calibrate()
     jif1, steal1 = _cpu_jiffies()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / max(jif1 - jif0, 1), 2)
@@ -167,6 +215,11 @@ def main() -> None:
         "transcript_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["pipeline_full"], 1),
         "host_cpu_steal_pct": steal_pct,
+        # clean-window reference values: see BENCH/BASELINE.md (round-6
+        # calibration note). Lines with calib well below those were
+        # measured under ambient contention — discount, don't diff.
+        "calib_gflops": min(calib_pre[0], calib_post[0]),
+        "calib_membw_gbs": min(calib_pre[1], calib_post[1]),
     }
     print(json.dumps(result))
 

@@ -22,7 +22,8 @@ DOC_QUERIES = [
     "temperature_sample", "pack_sequences", "substring_dup_spans",
     "substring_spans_winnowed", "substring_dedup_cut",
     "quality_classifier", "classifier_sample", "line_dedup_drops",
-    "line_dedup_keep", "minhash_cross_pairs", "union_distinct_top_words",
+    "line_dedup_keep", "corpus_pipeline", "minhash_cross_pairs",
+    "union_distinct_top_words",
     "lang_histogram", "lang_source_cube", "langid_documents",
     "perplexity_documents", "minhash_pairs", "simhash_candidates",
     "winnow_pairs", "dedup_clusters", "near_dedup_keep",

@@ -369,3 +369,35 @@ def test_line_dedup_and_packing_plans(spark):
     assert pkeys == ["_bkt"], pkeys
     assert "SinglePartition" not in pk, pk
     assert "BroadcastExchange" in pk
+
+
+def test_corpus_pipeline_composed_plan(spark):
+    """The composed seven-stage corpus pipeline (query 57): bounded
+    shuffle budget end-to-end. The plan STRING re-prints nested
+    InMemoryRelation subtrees at every reference, so exchanges are
+    counted by unique expression id — the set that actually executes:
+    one window exchange per dedup tier (doc-hash, line_hash, ghash,
+    gram verify), the 1-byte _bkt pack window, and a handful of doc_id
+    joins/rebuilds that share one partitioning. No cartesian, no
+    per-row Python (the one Python stage is cut_spans' Arrow UDF), no
+    single-partition collapse."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.q_corpus_pipeline(spark, "/root/testdata/sf0.001")
+    p = _plan(df)
+    uniq = {
+        m for m in re.findall(r"Exchange hashpartitioning\(([^,)]+#\d+)", p)
+    }
+    by_key = {}
+    for u in uniq:
+        by_key[u.split("#")[0]] = by_key.get(u.split("#")[0], 0) + 1
+    assert len(uniq) <= 10, (len(uniq), by_key)
+    assert by_key.get("line_hash") == 1, by_key
+    assert by_key.get("ghash") == 1, by_key
+    assert by_key.get("gram") == 1, by_key
+    assert by_key.get("_bkt") == 1, by_key
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "SinglePartition" not in p
