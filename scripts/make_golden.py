@@ -528,15 +528,17 @@ def g_ccnet_ppl_buckets(docs: pd.DataFrame, approx: bool = False) -> pd.DataFram
 
 
 def g_media_features(n: int = 64) -> pd.DataFrame:
-    """Twin of multimodal.synth_media + _decode_stub — calls the SAME
+    """Twin of multimodal.synth_media + decode_media — calls the SAME
     functions (no inlined constants, so a multimodal.py change cannot
-    silently desync this golden; ADVICE r02)."""
-    from langid_py_spark.operators.multimodal import _decode_stub, synth_payload
+    silently desync this golden; ADVICE r02). Since r06 the payloads
+    are real BMP/PPM/WAV files and the dimensions come from the parsed
+    headers."""
+    from langid_py_spark.operators.multimodal import decode_media, synth_payload
 
     rows = []
     for i in range(n):
         mime, nb, payload = synth_payload(i)
-        w, h, _feat = _decode_stub(payload, mime)
+        w, h, _feat = decode_media(payload, mime)
         rows.append((i, mime, nb, w, h, 8))
     return pd.DataFrame(
         rows, columns=["media_id", "mime", "nbytes", "width", "height", "feat_dim"]

@@ -98,7 +98,12 @@ def test_media_pipeline_shapes(spark):
     feats = decode_features(media).toPandas()
     assert len(feats) == 32
     assert all(len(f) == 8 for f in feats["feat"])
-    assert (feats["width"] >= 16).all() and (feats["height"] >= 16).all()
+    # real header-parsed dimensions: images are 4..32 px; wav rows have
+    # width = frame count (64..1023) and height = channel count (1)
+    img = feats[feats.mime.str.startswith("image/")]
+    wav = feats[feats.mime == "audio/wav"]
+    assert img["width"].between(4, 32).all() and img["height"].between(4, 32).all()
+    assert (wav["height"] == 1).all() and wav["width"].between(64, 1023).all()
     # deterministic across runs
     feats2 = decode_features(synth_media(spark, n=32)).toPandas()
     pd.testing.assert_frame_equal(
@@ -110,6 +115,42 @@ def test_media_pipeline_shapes(spark):
     s0 = sampled.set_index("media_id")
     for mid in (0, 5, 31):
         assert bytes(s0.loc[mid, "payload"]) == bytes(m0.loc[mid, "payload"])[::4]
+
+
+def test_media_codecs_round_trip():
+    """The bundled pure-NumPy codecs: encode -> decode is identity for
+    pixels/samples and header dimensions, across awkward widths (BMP
+    row padding) and odd sample counts (RIFF word alignment)."""
+    import numpy as np
+
+    from langid_py_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (2, 3), (5, 4), (16, 16), (33, 7)]:  # w=5,33: padding
+        rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for enc, dec in [(encode_bmp, decode_bmp), (encode_ppm, decode_ppm)]:
+            w2, h2, rgb2 = dec(enc(rgb))
+            assert (w2, h2) == (w, h), (enc.__name__, w, h)
+            np.testing.assert_array_equal(rgb2, rgb)
+    for n in (1, 2, 63, 64, 501):  # odd n: word-aligned data chunk
+        s = rng.randint(-(2**15), 2**15, size=n).astype(np.int16)
+        frames, ch, s2 = decode_wav(encode_wav(s))
+        assert (frames, ch) == (n, 1)
+        np.testing.assert_array_equal(s2, s)
+    # PPM header comments are legal and must parse
+    w2, h2, rgb2 = decode_ppm(b"P6\n# a comment\n2 2\n255\n" + bytes(12))
+    assert (w2, h2) == (2, 2)
+    # unknown mime falls through to the documented stub
+    w3, h3, f3 = decode_media(b"\x89PNG fake", "image/png")
+    assert len(f3) == 8 and w3 >= 16 and h3 >= 16
 
 
 # ------------------------------------------------------ training stages
