@@ -280,7 +280,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     each tier's independent DuckDB twin.
 
     Parameter choices keep EVERY stage non-vacuous at sf0.01 (measured:
-    499 -> 425 decontam -> 378 rules -> 139 sampled/packed): the rarer
+    499 -> 425 decontam -> 378 rules -> 270 sampled/packed): the rarer
     needle sublist (the full list's 'scan'/'vector' hit 80% of fixture
     docs and annihilated the chain), k_span=40 (k=30 cut keyword-soup
     texts below the rules' word floor), sampler floor 0.3."""

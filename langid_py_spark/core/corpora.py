@@ -104,3 +104,61 @@ def training_corpus(
         for _ in range(docs_per_lang):
             out.append((lang, make_doc(rng, lang, sentences_per_doc)))
     return out
+
+
+def make_crawl_doc(rng: np.random.RandomState) -> str:
+    """Deterministic crawl-junk document — the NEGATIVE class for the
+    quality classifier (r06, de-circularizing VERDICT r05 item 6: the
+    label used to be lang=='en', i.e. the langid model's own signal;
+    the CCNet/GPT-3 recipe's real contrast is reference-corpus prose vs
+    raw-crawl junk). Five junk flavors seen in real crawls, chosen so
+    each trips a DIFFERENT classifier feature rather than one obvious
+    tell: random-unicode soup (no word structure), digit/symbol dumps
+    (digit_frac), navigation chrome (short-token pipes), unbroken
+    identifier runs (mean_word_len), and repeated-line boilerplate
+    walls (line_density)."""
+    flavor = int(rng.randint(5))
+    if flavor == 0:  # random unicode soup, few spaces
+        n = int(rng.randint(120, 400))
+        chars = [chr(int(c)) for c in rng.randint(33, 1200, size=n)]
+        for j in range(0, n, int(rng.randint(25, 60))):
+            chars[j] = " "
+        return "".join(chars)
+    if flavor == 1:  # digit / symbol dump
+        toks = []
+        for _ in range(int(rng.randint(25, 70))):
+            kind = int(rng.randint(3))
+            if kind == 0:
+                toks.append(str(int(rng.randint(0, 10**9))))
+            elif kind == 1:
+                toks.append(
+                    "".join(
+                        "+-*/%$#@&|<>=~^"[int(c)] for c in rng.randint(0, 15, 4)
+                    )
+                )
+            else:
+                toks.append(f"{int(rng.randint(0,999))}.{int(rng.randint(0,99))}")
+        return " ".join(toks)
+    if flavor == 2:  # navigation chrome
+        menu = ["Home", "Login", "FAQ", "RSS", "Next", "Prev", "Top", "Map",
+                "EN", "DE", "2024", "©", ">>", "...", "Sitemap", "Cart"]
+        return " | ".join(
+            menu[int(i)] for i in rng.randint(0, len(menu), int(rng.randint(20, 60)))
+        )
+    if flavor == 3:  # unbroken identifier / hash runs
+        toks = []
+        for _ in range(int(rng.randint(3, 9))):
+            ln = int(rng.randint(40, 120))
+            toks.append(
+                "".join(
+                    "abcdef0123456789_-"[int(c)]
+                    for c in rng.randint(0, 18, ln)
+                )
+            )
+        return " ".join(toks)
+    # flavor 4: boilerplate wall — one short line repeated many times
+    line = " ".join(
+        "cookie consent policy terms privacy accept".split()[int(i)]
+        for i in rng.randint(0, 6, int(rng.randint(3, 6)))
+    )
+    return "\n".join([line] * int(rng.randint(8, 25)))
