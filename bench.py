@@ -48,7 +48,7 @@ def _cpu_jiffies() -> tuple[int, int]:
         return 0, 0
 
 
-def _calibrate() -> tuple[float, float]:
+def _calibrate() -> tuple[float, float, float]:
     """Fixed-work contention probes (r06, VERDICT r05 item 3): the r05
     driver bench regressed 28.4k→18.9k turns/s on UNCHANGED code while
     steal read only 0.92% — ambient memory-bandwidth/SMT contention is
@@ -58,6 +58,12 @@ def _calibrate() -> tuple[float, float]:
       threaded BLAS, so the probe is deterministic and single-thread):
       CPU/SMT-contention channel.
     * calib_membw_gbs — 64 MB streaming sum: DRAM-bandwidth channel.
+    * calib_mt_gflops — the SAME einsum on 32 concurrent threads
+      (NumPy releases the GIL), aggregate GFLOP/s at full bench width:
+      host-side CPU capping/steal often only bites under multi-core
+      load — measured r06: a bench with every row 2x slow read NORMAL
+      single-thread calib but 4.2% steal, i.e. the single-thread
+      probes alone are not sufficient.
 
     Run before AND after the timed section; the MIN of each pair is
     reported (contention can start mid-bench). Readers should discount
@@ -86,7 +92,28 @@ def _calibrate() -> tuple[float, float]:
         big.sum()
         it += 1
     membw = it * big.nbytes / (time.perf_counter() - t0) / 1e9
-    return round(gflops, 3), round(membw, 2)
+
+    import os
+    import threading
+
+    nthr = min(32, os.cpu_count() or 8)
+    counts = [0] * nthr
+    stop = time.perf_counter() + 0.4
+
+    def burn(slot: int) -> None:
+        aa, bb = a.copy(), b.copy()
+        while time.perf_counter() < stop:
+            np.einsum("ij,jk->ik", aa, bb)
+            counts[slot] += 1
+
+    threads = [threading.Thread(target=burn, args=(s,)) for s in range(nthr)]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    mt = sum(counts) * 2 * 256**3 / (time.perf_counter() - t0) / 1e9
+    return round(gflops, 3), round(membw, 2), round(mt, 3)
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -179,10 +206,13 @@ def main() -> None:
         "quality_clf": lambda: run_noop(qs["quality_classifier"](spark, sf_dir)),
         "line_dedup": lambda: run_noop(qs["line_dedup_keep"](spark, sf_dir)),
         # r06: the composed seven-stage corpus DAG (dedup -> line dedup
-        # -> span cut -> decontam -> rules -> clf sample -> pack)
-        "corpus_pipeline": lambda: run_noop(
-            qs["corpus_pipeline"](spark, sf_dir)
-        ),
+        # -> span cut -> decontam -> rules -> clf sample -> pack). Each
+        # construction persists fresh stage boundaries; clear the cache
+        # first so repeated timed runs don't accumulate stale entries.
+        "corpus_pipeline": lambda: (
+            spark.catalog.clearCache(),
+            run_noop(qs["corpus_pipeline"](spark, sf_dir)),
+        )[-1],
     }
 
     calib_pre = _calibrate()
@@ -220,6 +250,7 @@ def main() -> None:
         # measured under ambient contention — discount, don't diff.
         "calib_gflops": min(calib_pre[0], calib_post[0]),
         "calib_membw_gbs": min(calib_pre[1], calib_post[1]),
+        "calib_mt_gflops": min(calib_pre[2], calib_post[2]),
     }
     print(json.dumps(result))
 
