@@ -105,6 +105,139 @@ def corpus_pipeline(
     )
 
 
+_TIER_NAMES = [
+    "t1_exact",
+    "t2_linededup",
+    "t3_spancut",
+    "t4_decontam",
+    "t5_rules",
+    "t6_clfsample",
+    "t7_pack",
+]
+
+
+def run_corpus_pipeline(
+    spark,
+    df: DataFrame,
+    out_dir: str,
+    needles: list[str],
+    k_span: int = 30,
+    budget: int = 512,
+    salt: str = "s42",
+    floor: float = 0.02,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    resume: bool = True,
+) -> DataFrame:
+    """The production form of corpus_pipeline: each tier WRITES A TABLE
+    (parquet dir under out_dir) and the next tier reads it back — the
+    bronze/silver/gold layout the in-session persists stand in for.
+    This buys three things the persists cannot:
+
+    * per-tier RESUME — a manifest (_manifest.json, same convention as
+      spark/pipeline.py) records completed tiers + a parameter
+      fingerprint; a re-run skips completed tiers entirely (their
+      files are never touched) and recomputes only from the first
+      missing tier;
+    * lineage truncation — every tier plan starts from a fresh scan,
+      so no nested-InMemoryRelation growth and no recompute-on-evict;
+    * inspectable intermediates — each tier's output is a real table
+      (row counts, sampling, debugging between tiers).
+
+    The parameter fingerprint guards stale resumes: resuming with
+    different needles/k/budget/salt/floor raises (pass resume=False to
+    rebuild). Returns the final packed DataFrame read from t7_pack.
+    """
+    import hashlib
+    import json
+    import os
+
+    fp = hashlib.md5(
+        json.dumps(
+            [sorted(needles), k_span, budget, salt, floor, text_col, id_col]
+        ).encode()
+    ).hexdigest()
+    man_path = os.path.join(out_dir, "_manifest.json")
+    manifest: dict = {"params_fp": fp, "completed_tiers": []}
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            manifest = json.load(f)
+        if manifest.get("params_fp") != fp:
+            raise ValueError(
+                f"resume manifest at {out_dir} was written with different "
+                "pipeline parameters; pass resume=False to rebuild"
+            )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _save(name: str, d: DataFrame) -> DataFrame:
+        path = os.path.join(out_dir, name)
+        if name not in manifest["completed_tiers"]:
+            d.write.mode("overwrite").parquet(path)
+            manifest["completed_tiers"].append(name)
+            with open(man_path, "w") as f:
+                json.dump(manifest, f)
+        return spark.read.parquet(path)
+
+    done = set(manifest["completed_tiers"])
+
+    def _tier(name: str, build, prev: DataFrame | None) -> DataFrame:
+        # completed tiers are read back without constructing their plan
+        # (build is a thunk so guard pre-count jobs etc. don't run)
+        if name in done:
+            return spark.read.parquet(os.path.join(out_dir, name))
+        return _save(name, build(prev))
+
+    docs = df.select(F.col(id_col), F.col(text_col).alias("text"))
+    d1 = _tier("t1_exact", lambda d: dedup.exact_dedup_keep(docs, "text", id_col), None)
+    d2 = _tier("t2_linededup", lambda d: dedup.line_dedup_keep(d, "text", id_col), d1)
+    d3 = _tier(
+        "t3_spancut",
+        lambda d: spandedup.cut_spans(
+            d, spandedup.substring_dup_spans(d, k=k_span, id_col=id_col), "text", id_col
+        ),
+        d2,
+    )
+
+    def _decontam(d: DataFrame) -> DataFrame:
+        hits = (
+            contamination.contamination_scan_join(d, needles, id_col=id_col)
+            .select(id_col)
+            .distinct()
+        )
+        return d.join(hits, id_col, "left_anti")
+
+    d4 = _tier("t4_decontam", _decontam, d3)
+    d5 = _tier(
+        "t5_rules",
+        lambda d: rules_mod.with_rules(d, "text")
+        .filter("keep_heuristic")
+        .select(id_col, "text"),
+        d4,
+    )
+    d6 = _tier(
+        "t6_clfsample",
+        lambda d: qclf.classifier_importance_sample(
+            d, id_col=id_col, salt=salt, floor=floor
+        ),
+        d5,
+    )
+
+    def _pack(d: DataFrame) -> DataFrame:
+        packed = packing.pack_sequences(
+            d, budget=budget, text_col="text", id_col=id_col, salt=salt
+        )
+        meta = d.select(
+            F.col(id_col),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+            "accept_p",
+        )
+        return packed.join(meta, id_col).select(
+            id_col, "text_md5", "accept_p", "n_tokens", "start_offset", "bin_id"
+        )
+
+    return _tier("t7_pack", _pack, d6)
+
+
 def corpus_pipeline_oracle_sql(
     needles: list[str],
     table: str = "documents",
