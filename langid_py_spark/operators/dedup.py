@@ -58,16 +58,56 @@ def exact_dedup_groups_oracle_sql(table: str = "documents", id_col: str = "doc_i
     """
 
 
-def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Survivors after exact dedup: lowest id per identical text."""
-    w = Window.partitionBy(F.md5(F.coalesce(F.col(text_col), F.lit("")))).orderBy(
-        F.asc(id_col)
+def exact_dedup_keep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_threshold: int | None = 100_000,
+    hot_sample: int = 64,
+) -> DataFrame:
+    """Survivors after exact dedup: lowest id per identical text.
+
+    Hot-key guard (r06, same family as the line/span guards): a text
+    duplicated ~10^8 times — the empty string and boilerplate pages are
+    exactly this in real crawls — makes the row_number window one
+    unsplittable sort partition. Texts above `hot_threshold` copies
+    (sampled pre-count; bounded driver pull; short-circuit when none)
+    instead take min(id) per hash — an unskewable hash agg — broadcast
+    back, keeping only the matching row. Identical survivors either
+    way. Unlike the line guard there is no persist: the per-row work
+    re-done by the hot branches is one md5, cheaper than a cache pass
+    (the sampled pre-count hashes only 1/hot_sample of the rows)."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+
+    def _window_keep(d: DataFrame) -> DataFrame:
+        w = Window.partitionBy(h).orderBy(F.asc(id_col))
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    if hot_threshold is None:
+        return _window_keep(df)
+    hot_list = collect_hot_keys(
+        df.select(F.col(id_col), h.alias("_th")),
+        "_th",
+        hot_threshold,
+        [id_col],
+        hot_sample,
     )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    if not hot_list:
+        return _window_keep(df)
+    hashed = df.withColumn("_th", h)
+    tail = _window_keep(hashed.filter(~F.col("_th").isin(hot_list))).drop("_th")
+    hot_rows = hashed.filter(F.col("_th").isin(hot_list))
+    firsts = hot_rows.groupBy("_th").agg(F.min(id_col).alias("_keep_id"))
+    hot_keep = (
+        hot_rows.join(F.broadcast(firsts), "_th")
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("_th", "_keep_id")
     )
+    return tail.unionByName(hot_keep)
 
 
 # ----------------------------------------------- hot-key window guard

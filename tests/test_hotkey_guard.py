@@ -199,3 +199,37 @@ def test_guard_defaults_never_trigger_on_small_corpora(hot_gram_corpus):
     assert _rows(substring_dup_spans(hot_gram_corpus, k=20), cols) == _rows(
         substring_dup_spans(hot_gram_corpus, k=20, hot_threshold=None), cols
     )
+
+
+# ------------------------------------------------------- exact dedup
+def test_exact_dedup_keep_hot_guard(spark):
+    """30k byte-identical docs (the empty-string/boilerplate crawl
+    case): guarded survivors == unguarded survivors, hot key routed
+    around the window, plan shows the broadcast path."""
+    import numpy as np
+
+    rows = [(i, "the same boilerplate page body") for i in range(30_000)]
+    rows += [(100_000 + i, f"unique doc {i}") for i in range(50)]
+    rows += [(200_000, "dup-pair"), (200_001, "dup-pair")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    from langid_py_spark.operators.dedup import exact_dedup_keep
+
+    base = _rows(exact_dedup_keep(docs, hot_threshold=None), ["doc_id", "text"])
+    guarded = _rows(
+        exact_dedup_keep(docs, hot_threshold=1000, hot_sample=1), ["doc_id", "text"]
+    )
+    sampled = _rows(
+        exact_dedup_keep(docs, hot_threshold=1000, hot_sample=8), ["doc_id", "text"]
+    )
+    assert guarded == base
+    assert sampled == base
+    assert (0, "the same boilerplate page body") in base  # lowest id kept
+    assert len(base) == 52
+    plan = (
+        exact_dedup_keep(docs, hot_threshold=1000, hot_sample=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "Union" in plan
