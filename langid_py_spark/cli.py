@@ -6,6 +6,11 @@
   cat text | python -m langid_py_spark.cli --line    # stdin lines
   python -m langid_py_spark.cli --spark PARQUET OUT  # distributed:
         score a parquet of (.., text) rows, write parquet + lang column
+  python -m langid_py_spark.cli --corpus PARQUET OUT # distributed:
+        run the seven-tier training-data pipeline (dedup -> line dedup
+        -> span cut -> decontam -> rules -> clf sample -> pack) with
+        table-per-tier resume under OUT; --needles FILE = one needle
+        per line (decontamination list)
   -l en,de,fr    restrict languages (model slicing, not post-filter)
   -n             suppress confidence normalization (raw log-probs)
 
@@ -28,11 +33,43 @@ def main(argv: list[str] | None = None) -> int:
         "-n", "--no-norm", action="store_true", help="raw log-prob confidence"
     )
     ap.add_argument("--spark", action="store_true", help="distributed parquet mode")
+    ap.add_argument(
+        "--corpus", action="store_true", help="seven-tier corpus pipeline mode"
+    )
+    ap.add_argument(
+        "--needles", default=None, help="decontamination needle file (one per line)"
+    )
+    ap.add_argument("--k-span", type=int, default=30)
+    ap.add_argument("--budget", type=int, default=512)
+    ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("paths", nargs="*")
     args = ap.parse_args(argv)
 
     langs = args.langs.split(",") if args.langs else None
+
+    if args.corpus:
+        if len(args.paths) != 2:
+            ap.error("--corpus needs IN_PARQUET OUT_DIR")
+        from langid_py_spark.operators.corpus_pipeline import run_corpus_pipeline
+        from langid_py_spark.spark.session import get_spark
+
+        needles = ["zzz-default-canary"]
+        if args.needles:
+            with open(args.needles) as f:
+                needles = [ln.rstrip("\n") for ln in f if ln.strip()]
+        spark = get_spark(cores=args.cores, app_name="corpus_cli")
+        out = run_corpus_pipeline(
+            spark,
+            spark.read.parquet(args.paths[0]),
+            args.paths[1],
+            needles,
+            k_span=args.k_span,
+            budget=args.budget,
+            resume=not args.no_resume,
+        )
+        print(f"packed {out.count()} docs -> {args.paths[1]}/t7_pack")
+        return 0
 
     if args.spark:
         if len(args.paths) != 2:

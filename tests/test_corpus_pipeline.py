@@ -82,3 +82,43 @@ def test_stale_parameter_resume_raises(spark, line_docs, tmp_path):
         spark, line_docs, out, NEEDLES, k_span=30, floor=0.3, resume=False
     )
     assert len(_rows(got)) > 0
+
+
+def test_cli_corpus_mode(spark, tmp_path):
+    """--corpus IN OUT runs the materialized pipeline end to end; a
+    second invocation resumes (all tiers complete -> no recompute)."""
+    import pandas as pd
+
+    from langid_py_spark.cli import main
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"some words about topic {i % 7} in the document {i}\n"
+                "shared boilerplate line across documents\n"
+                f"tail {i}"
+                for i in range(40)
+            ],
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pdf.to_parquet(src, index=False)
+    ndl = tmp_path / "needles.txt"
+    ndl.write_text("topic 3\nzzz-absent\n")
+    out = str(tmp_path / "out")
+    rc = main(
+        ["--corpus", src, out, "--needles", str(ndl), "--k-span", "20", "--cores", "4"]
+    )
+    assert rc == 0
+    packed = spark.read.parquet(f"{out}/t7_pack")
+    assert packed.count() > 0
+    assert set(packed.columns) == {
+        "doc_id", "text_md5", "accept_p", "n_tokens", "start_offset", "bin_id"
+    }
+    # resume path: second run returns without rewriting
+    import os
+
+    m = os.path.getmtime(f"{out}/t7_pack/_SUCCESS")
+    assert main(["--corpus", src, out, "--needles", str(ndl), "--k-span", "20"]) == 0
+    assert os.path.getmtime(f"{out}/t7_pack/_SUCCESS") == m
