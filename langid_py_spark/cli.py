@@ -57,7 +57,14 @@ def main(argv: list[str] | None = None) -> int:
         needles = ["zzz-default-canary"]
         if args.needles:
             with open(args.needles) as f:
-                needles = [ln.rstrip("\n") for ln in f if ln.strip()]
+                # strip() not rstrip('\n'): CRLF files would otherwise
+                # leave '\r' on every needle and byte-exact containment
+                # would silently match nothing (review r06); dedupe
+                # order-preserving — contamination_scan_join rejects
+                # duplicate needles, better caught here than in tier 4
+                needles = list(
+                    dict.fromkeys(ln.strip() for ln in f if ln.strip())
+                )
         spark = get_spark(cores=args.cores, app_name="corpus_cli")
         out = run_corpus_pipeline(
             spark,

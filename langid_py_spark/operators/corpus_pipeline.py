@@ -144,17 +144,34 @@ def run_corpus_pipeline(
     * inspectable intermediates — each tier's output is a real table
       (row counts, sampling, debugging between tiers).
 
-    The parameter fingerprint guards stale resumes: resuming with
-    different needles/k/budget/salt/floor raises (pass resume=False to
-    rebuild). Returns the final packed DataFrame read from t7_pack.
+    The fingerprint guards stale resumes: resuming with different
+    needles/k/budget/salt/floor — or against a different INPUT (the
+    input identity is the sorted file list for file-backed frames,
+    else the plan's semantic hash; review r06: a params-only
+    fingerprint would happily resume v2.parquet against v1's tiers) —
+    raises with instructions; pass resume=False to rebuild. Returns
+    the final packed DataFrame read from t7_pack.
     """
     import hashlib
     import json
     import os
 
+    try:
+        input_id: object = sorted(df.inputFiles()) or df.semanticHash()
+    except Exception:  # semanticHash availability is version-dependent
+        input_id = sorted(df.inputFiles())
     fp = hashlib.md5(
         json.dumps(
-            [sorted(needles), k_span, budget, salt, floor, text_col, id_col]
+            [
+                input_id,
+                sorted(needles),
+                k_span,
+                budget,
+                salt,
+                floor,
+                text_col,
+                id_col,
+            ]
         ).encode()
     ).hexdigest()
     man_path = os.path.join(out_dir, "_manifest.json")
@@ -165,7 +182,7 @@ def run_corpus_pipeline(
         if manifest.get("params_fp") != fp:
             raise ValueError(
                 f"resume manifest at {out_dir} was written with different "
-                "pipeline parameters; pass resume=False to rebuild"
+                "pipeline parameters or input data; pass resume=False to rebuild"
             )
     os.makedirs(out_dir, exist_ok=True)
 
@@ -174,8 +191,12 @@ def run_corpus_pipeline(
         if name not in manifest["completed_tiers"]:
             d.write.mode("overwrite").parquet(path)
             manifest["completed_tiers"].append(name)
-            with open(man_path, "w") as f:
+            # atomic manifest update: a crash mid-dump must not leave a
+            # truncated file that breaks every future resume (review r06)
+            tmp = man_path + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(manifest, f)
+            os.replace(tmp, man_path)
         return spark.read.parquet(path)
 
     done = set(manifest["completed_tiers"])

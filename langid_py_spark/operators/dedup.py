@@ -98,9 +98,16 @@ def exact_dedup_keep(
     )
     if not hot_list:
         return _window_keep(df)
+    # broadcast-join routing like the sibling guards (an isin literal
+    # list would embed up to 100k 32-char strings in the plan and every
+    # task closure — review r06)
+    spark = df.sparkSession
+    hot = F.broadcast(
+        spark.createDataFrame([(k,) for k in hot_list], "_th string")
+    )
     hashed = df.withColumn("_th", h)
-    tail = _window_keep(hashed.filter(~F.col("_th").isin(hot_list))).drop("_th")
-    hot_rows = hashed.filter(F.col("_th").isin(hot_list))
+    tail = _window_keep(hashed.join(hot, "_th", "left_anti")).drop("_th")
+    hot_rows = hashed.join(hot, "_th")
     firsts = hot_rows.groupBy("_th").agg(F.min(id_col).alias("_keep_id"))
     hot_keep = (
         hot_rows.join(F.broadcast(firsts), "_th")
@@ -156,7 +163,7 @@ def hot_keys(
         rows.groupBy(key_col)
         .agg(F.count("*").alias("_hn"))
         .filter(F.col("_hn") >= cutoff)
-        .select(key_col)
+        .select(key_col, "_hn")
     )
 
 
@@ -171,22 +178,34 @@ def collect_hot_keys(
     sample_denom: int,
 ):
     """hot_keys pulled to the driver — the repo's bounded-pull pattern:
-    the set is <= n/threshold keys by construction (mega-boilerplate is
-    few by definition); raises rather than silently truncating if a
-    misconfigured threshold would make it large. Returning a Python
-    list lets callers SHORT-CIRCUIT to the unguarded single-window plan
+    the set is <= 4·n/threshold keys by construction (the sampled
+    cutoff is recall-biased to ~threshold/4 — mega-boilerplate is few
+    by definition, so in practice a handful). Returning a Python list
+    lets callers SHORT-CIRCUIT to the unguarded single-window plan
     when no key is hot — the common case then pays only the sampled
     pre-count, not the guarded plan's extra branches (measured 5x on
-    the line-dedup bench row before this fast path)."""
+    the line-dedup bench row before this fast path).
+
+    If a pathological corpus exceeds the 100k-key pull bound, the pull
+    keeps the 100k HOTTEST keys and warns rather than raising (review
+    r06): routing is semantics-preserving in every caller, so a
+    truncated hot set only means the remaining merely-warm keys stay
+    in the window path — strictly better than aborting hours of work,
+    and the kept keys are exactly the worst stragglers."""
+    import warnings
+
     ks = hot_keys(rows, key_col, threshold, sample_cols, sample_denom)
-    out = [r[0] for r in ks.limit(_MAX_HOT_KEYS + 1).collect()]
-    if len(out) > _MAX_HOT_KEYS:
-        raise ValueError(
+    rows_out = ks.orderBy(F.desc("_hn")).limit(_MAX_HOT_KEYS + 1).collect()
+    if len(rows_out) > _MAX_HOT_KEYS:
+        warnings.warn(
             f"hot-key pre-count found more than {_MAX_HOT_KEYS} keys over "
-            f"threshold={threshold} — raise the threshold (the guard is for "
-            "the handful of mega-hot keys, not a general frequency cut)"
+            f"~threshold/4={max(2, threshold // 4)} copies; guarding only the "
+            f"{_MAX_HOT_KEYS} hottest (the rest stay on the window path). "
+            "Raise hot_threshold if this warning is routine.",
+            stacklevel=2,
         )
-    return out
+        rows_out = rows_out[:_MAX_HOT_KEYS]
+    return [r[0] for r in rows_out]
 
 
 # ------------------------------------------------- C4 line-level dedup

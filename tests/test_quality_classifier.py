@@ -80,19 +80,15 @@ def test_committed_weights_separate_heldout_corpora(spark):
     than training — the de-circularized r06 contrast: clean prose in
     ALL languages vs crawl junk, not the langid model's own en label),
     and the Spark scoring path agrees with the NumPy dot product."""
-    from langid_py_spark.core.corpora import make_crawl_doc
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from train_quality_clf import build_corpus
 
     bias, w = load_weights()
-    rng = np.random.RandomState(99)  # held-out: train used 20260817
-    texts, y = [], []
-    for lang in sorted(LANGS):
-        for _ in range(30):
-            texts.append(make_doc(rng, lang, int(rng.randint(2, 7))))
-            y.append(True)
-    for _ in range(30 * len(LANGS)):
-        texts.append(make_crawl_doc(rng))
-        y.append(False)
-    y = np.array(y)
+    # the trainer's own corpus builder, held-out seed (train: 20260817)
+    texts, y01 = build_corpus(n_per_lang=30, seed=99)
+    y = y01 > 0.5
     X = np.vstack([feature_py(t) for t in texts])
     z = X @ w + bias
     acc = ((z > 0) == y).mean()
