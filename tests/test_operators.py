@@ -153,6 +153,45 @@ def test_media_codecs_round_trip():
     assert len(f3) == 8 and w3 >= 16 and h3 >= 16
 
 
+def test_resize_media(spark):
+    """Resize: images downsampled to max_side with aspect preserved and
+    still decodable in their own format; small media untouched; unknown
+    mimes byte-identical."""
+    from langid_py_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=24)
+    before = {r["media_id"]: r for r in media.collect()}
+    out = {r["media_id"]: r for r in resize_media(media, max_side=8).collect()}
+    assert set(out) == set(before)
+    for mid, r in out.items():
+        mime = r["mime"]
+        w0, h0, _ = decode_media(bytes(before[mid]["payload"]), mime)
+        w1, h1, _ = decode_media(bytes(r["payload"]), mime)
+        if mime.startswith("image/"):
+            assert max(w1, h1) <= 8
+            if max(w0, h0) <= 8:  # never upscales
+                assert bytes(r["payload"]) == bytes(before[mid]["payload"])
+            else:  # aspect preserved within nearest-neighbor rounding
+                assert abs(w1 / h1 - w0 / h0) <= max(w0 / h0, 1) * 0.5
+        else:
+            assert w1 <= 8 * 1024  # frames capped
+    # unknown mime passes through byte-identical
+    import pandas as pd
+
+    weird = spark.createDataFrame(
+        pd.DataFrame(
+            [(99, "image/png", 4, b"\x89PNG")],
+            columns=["media_id", "mime", "nbytes", "payload"],
+        )
+    )
+    got = resize_media(weird, max_side=4).collect()[0]
+    assert bytes(got["payload"]) == b"\x89PNG"
+
+
 # ------------------------------------------------------ training stages
 def test_spark_ig_matches_local_oracle(spark):
     """Spark ig_weights == core.trainer.ig_binarized on a toy corpus."""
