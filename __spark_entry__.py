@@ -30,6 +30,7 @@ from langid_py_spark.operators import (
     contamination,
     corpus_pipeline as corpus_pipeline_mod,
     dedup,
+    lm_train,
     packing,
     quality_classifier,
     repetition,
@@ -743,6 +744,17 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-LM-trainer counts (operators/lm_train.py): top-50
+    byte n-grams per order with conditional-probability denominators.
+    Integer-exact, so the DuckDB twin (hex-nibble byte decode + lead()
+    windows — a fully independent computation path) matches bit-for-bit
+    with no golden needed."""
+    from langid_py_spark.operators import lm_train
+
+    return lm_train.lm_ngram_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
 def q_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from langid_py_spark.spark.perplexity import with_perplexity
 
@@ -1072,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "temperature_sample": q_temperature_sample,
         "pack_sequences": q_pack_sequences,
+        "lm_ngram_topk": q_lm_ngram_topk,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_spans_winnowed": q_substring_spans_winnowed,
         "substring_dedup_cut": q_substring_dedup_cut,
@@ -1203,6 +1216,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", 0.3, cols=["doc_id", "lang", "source"]
         ),
         "pack_sequences": packing.pack_sequences_oracle_sql(budget=2048),
+        "lm_ngram_topk": lm_train.lm_ngram_topk_oracle_sql("documents", k=50),
         "substring_dup_spans": spandedup.substring_dup_spans_oracle_sql(k=30),
         "substring_spans_winnowed": _golden_sql("substring_spans_winnowed"),
         "substring_dedup_cut": spandedup.cut_spans_oracle_sql(k=30),
