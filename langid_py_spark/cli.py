@@ -11,6 +11,12 @@
         -> span cut -> decontam -> rules -> clf sample -> pack) with
         table-per-tier resume under OUT; --needles FILE = one needle
         per line (decontamination list)
+  python -m langid_py_spark.cli --train-lm PARQUET OUT.npz
+        estimate the interpolated byte-trigram LM from a corpus
+        parquet (distributed counts, key-space-bounded pull) and write
+        the npz artifact the perplexity scorers load; --per-lang
+        writes a MultiTrigramLM (per-language LMs + global fallback,
+        the lm_by_lang.npz shape) from the corpus' lang column
   -l en,de,fr    restrict languages (model slicing, not post-filter)
   -n             suppress confidence normalization (raw log-probs)
 
@@ -39,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--needles", default=None, help="decontamination needle file (one per line)"
     )
+    ap.add_argument(
+        "--train-lm", action="store_true", help="train LM artifact from parquet"
+    )
+    ap.add_argument(
+        "--per-lang", action="store_true", help="train-lm: per-language LMs"
+    )
+    ap.add_argument("--min-count", type=int, default=2)
     ap.add_argument("--k-span", type=int, default=30)
     ap.add_argument("--budget", type=int, default=512)
     ap.add_argument("--no-resume", action="store_true")
@@ -76,6 +89,32 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
         )
         print(f"packed {out.count()} docs -> {args.paths[1]}/t7_pack")
+        return 0
+
+    if args.train_lm:
+        if len(args.paths) != 2:
+            ap.error("--train-lm needs IN_PARQUET OUT_NPZ")
+        from langid_py_spark.operators import lm_train
+        from langid_py_spark.spark.session import get_spark
+
+        spark = get_spark(cores=args.cores, app_name="lm_train_cli")
+        df = spark.read.parquet(args.paths[0])
+        if args.per_lang:
+            multi = lm_train.train_multi_lm_distributed(
+                df, min_count=args.min_count
+            )
+            multi.save(args.paths[1])
+            print(
+                f"wrote MultiTrigramLM ({len(multi.lms)} langs + fallback) "
+                f"-> {args.paths[1]}"
+            )
+        else:
+            lm = lm_train.train_lm_distributed(df, min_count=args.min_count)
+            lm.save(args.paths[1])
+            print(
+                f"wrote TrigramLM ({len(lm.tri_keys)} trigrams, "
+                f"{len(lm.bi_keys)} bigrams) -> {args.paths[1]}"
+            )
         return 0
 
     if args.spark:

@@ -135,6 +135,44 @@ def test_empty_corpus(spark):
     _assert_same_lm(train_lm([]), lm, "empty")
 
 
+def test_cli_train_lm_mode(spark, tmp_path):
+    """--train-lm IN OUT.npz writes a loadable artifact bit-identical
+    to the driver-local trainer; --per-lang writes the lm_by_lang
+    shape."""
+    import pandas as pd
+
+    from langid_py_spark.cli import main
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "lang": ["en", "de"] * 10,
+            "text": [
+                f"document number {i} with some repeated english words"
+                if i % 2 == 0
+                else f"dokument nummer {i} mit einigen deutschen worten"
+                for i in range(20)
+            ],
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pdf.to_parquet(src, index=False)
+
+    out = str(tmp_path / "lm.npz")
+    assert main(["--train-lm", src, out, "--cores", "4"]) == 0
+    _assert_same_lm(
+        train_lm(pdf["text"].tolist(), min_count=2), TrigramLM.load(out), "cli"
+    )
+
+    out_ml = str(tmp_path / "lm_by_lang.npz")
+    assert main(["--train-lm", src, out_ml, "--per-lang", "--cores", "4"]) == 0
+    multi = MultiTrigramLM.load(out_ml)
+    assert set(multi.lms) == {"en", "de"}
+    _assert_same_lm(
+        train_lm(pdf["text"].tolist(), min_count=2), multi.fallback, "cli-fallback"
+    )
+
+
 def test_counts_min_count_vs_ctx_semantics(spark):
     """min_count drops keys from the TABLE but not from the context
     denominators — the train_lm contract the distributed path must
