@@ -30,6 +30,7 @@ from langid_py_spark.operators import (
     contamination,
     corpus_pipeline as corpus_pipeline_mod,
     dedup,
+    embedding as embedding_mod,
     lm_train,
     packing,
     quality_classifier,
@@ -744,6 +745,16 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF embedding generation, integer-exact sparse surface
+    (operators/embedding.py): (doc_id, bucket, tf, df_bucket) — the
+    idf/normalize float tail lives in doc_embeddings (pytest-pinned,
+    cross-engine ln()/sqrt ulp stays out of the oracle compare)."""
+    from langid_py_spark.operators import embedding
+
+    return embedding.hashed_tf_vectors(_t(spark, sf_dir, "documents"))
+
+
 def q_lm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-LM-trainer counts (operators/lm_train.py): top-50
     byte n-grams per order with conditional-probability denominators.
@@ -1085,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "pack_sequences": q_pack_sequences,
         "lm_ngram_topk": q_lm_ngram_topk,
+        "hashed_tf_vectors": q_hashed_tf_vectors,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_spans_winnowed": q_substring_spans_winnowed,
         "substring_dedup_cut": q_substring_dedup_cut,
@@ -1217,6 +1229,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_sequences": packing.pack_sequences_oracle_sql(budget=2048),
         "lm_ngram_topk": lm_train.lm_ngram_topk_oracle_sql("documents", k=50),
+        "hashed_tf_vectors": embedding_mod.hashed_tf_vectors_oracle_sql(
+            "documents"
+        ),
         "substring_dup_spans": spandedup.substring_dup_spans_oracle_sql(k=30),
         "substring_spans_winnowed": _golden_sql("substring_spans_winnowed"),
         "substring_dedup_cut": spandedup.cut_spans_oracle_sql(k=30),
