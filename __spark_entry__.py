@@ -919,7 +919,11 @@ _NGRAM_N = 3  # word-gram order for the registered overlap query (GPT-3 uses 13;
 
 def _overlap_needles(spark: SparkSession, sf_dir: str) -> list[str]:
     """Deterministic needles: the first 8 words of docs 0-2 — guaranteed
-    hits, reproducible, and constructible identically in the SQL twin."""
+    hits, reproducible, and constructible identically in the SQL twin.
+    Degenerate corpora (empty/whitespace/duplicate docs 0-2) yield
+    needles the operator guards would rightly reject, so generation
+    drops sub-_NGRAM_N-word needles and dedupes — mirrored by the
+    length filter + DISTINCT in _OVERLAP_NEEDLES_SQL."""
     docs = _t(spark, sf_dir, "documents")
     rows = (
         docs.filter(F.col("doc_id") < 3)
@@ -938,7 +942,22 @@ def _overlap_needles(spark: SparkSession, sf_dir: str) -> list[str]:
         )
         .collect()
     )
-    return [r["needle"] for r in rows]
+    raw = [r["needle"] for r in rows]
+    # tokens contain no spaces, so split(" ") is the exact word count
+    valid = [nd for nd in raw if nd and len(nd.split(" ")) >= _NGRAM_N]
+    return list(dict.fromkeys(valid))
+
+
+# SQL twin of _overlap_needles / the dist query's needles_df (shared by
+# both overlap oracle entries): same slice, same ≥_NGRAM_N-word filter,
+# DISTINCT for the dedupe (output is keyed by needle string, so any
+# dedupe strategy agrees).
+_OVERLAP_NEEDLES_SQL = (
+    "SELECT DISTINCT array_to_string("
+    "(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+'))[1:8], ' ') AS needle "
+    "FROM documents WHERE doc_id < 3 "
+    f"AND len(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+')) >= {_NGRAM_N}"
+)
 
 
 def q_ngram_overlap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +971,11 @@ def q_ngram_overlap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully independent path."""
     docs = _t(spark, sf_dir, "documents")
     needles = _overlap_needles(spark, sf_dir)
+    if not needles:
+        # all generated needles were degenerate (see _overlap_needles)
+        return spark.createDataFrame(
+            [], "doc_id bigint, needle string, n_shared bigint"
+        )
     return contamination.ngram_overlap_scan(docs, needles, n=_NGRAM_N)
 
 
@@ -962,21 +986,23 @@ def q_ngram_overlap_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same needles and SQL oracle as ngram_overlap_scan, so the driver
     pins both paths to identical results."""
     docs = _t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(
+        F.col("text"), F.lit("[^\t\n\f\r ]+"), F.lit(0)
+    )
     needles_df = (
         docs.filter(F.col("doc_id") < 3)
+        # same degenerate-needle filter as _overlap_needles: the sliced
+        # needle has min(|words|, 8) words, so |words| >= _NGRAM_N ⟺
+        # the needle is long enough
+        .filter(F.size(words) >= _NGRAM_N)
         .select(
             F.col("doc_id").alias("needle_id"),
-            F.array_join(
-                F.slice(
-                    F.regexp_extract_all(
-                        F.col("text"), F.lit("[^\t\n\f\r ]+"), F.lit(0)
-                    ),
-                    1,
-                    8,
-                ),
-                " ",
-            ).alias("needle"),
+            F.array_join(F.slice(words, 1, 8), " ").alias("needle"),
         )
+        # dedupe identical needles (min id — output is keyed by needle
+        # string, so the survivor choice is unobservable)
+        .groupBy("needle")
+        .agg(F.min("needle_id").alias("needle_id"))
     )
     return contamination.ngram_overlap_scan_distributed(
         docs, needles_df, n=_NGRAM_N
@@ -1368,19 +1394,11 @@ def oracle_sql() -> dict[str, str]:
             _CONTAMINATION_NEEDLES, "documents"
         ),
         "ngram_overlap_dist": contamination.ngram_overlap_oracle_sql(
-            needles_sql=(
-                "SELECT array_to_string("
-                "(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+'))[1:8], ' ') AS needle "
-                "FROM documents WHERE doc_id < 3"
-            ),
+            needles_sql=_OVERLAP_NEEDLES_SQL,
             n=_NGRAM_N,
         ),
         "ngram_overlap_scan": contamination.ngram_overlap_oracle_sql(
-            needles_sql=(
-                "SELECT array_to_string("
-                "(regexp_extract_all(text, '[^\\t\\n\\f\\r ]+'))[1:8], ' ') AS needle "
-                "FROM documents WHERE doc_id < 3"
-            ),
+            needles_sql=_OVERLAP_NEEDLES_SQL,
             n=_NGRAM_N,
         ),
         "ccnet_ppl_buckets": _golden_sql("ccnet_ppl_buckets"),

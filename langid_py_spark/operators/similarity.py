@@ -237,6 +237,11 @@ def srp_signature_udf(dim: int, n_planes: int = N_PLANES):
     @pandas_udf(T.LongType())
     def _sig(vecs: pd.Series) -> pd.Series:
         mat = _to_mat(vecs)
+        if mat.size and mat.shape[1] != planes.shape[0]:
+            raise ValueError(
+                f"embedding dim {mat.shape[1]} does not match the "
+                f"configured SRP dim {planes.shape[0]}"
+            )
         # rowwise_gemm: a projection within 1 ulp of 0 must not flip its
         # sign bit with the Arrow batch size (goldens compute full-matrix)
         bits = rowwise_gemm(mat, planes) > 0  # (B, n_planes)

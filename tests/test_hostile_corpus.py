@@ -29,7 +29,13 @@ DOC_QUERIES = [
     "winnow_pairs", "dedup_clusters", "near_dedup_keep",
     "contamination_scan", "contamination_scan_join",
     "ccnet_ppl_buckets", "ccnet_ppl_buckets_approx", "rank_languages",
-    "byte_ngram_df_topk",
+    "byte_ngram_df_topk", "lm_ngram_topk", "hashed_tf_vectors",
+    # embeddings family (hostile embeddings.parquet: zero vectors, 1e6
+    # magnitudes — norm-guard and overflow exercise)
+    "cosine_topk", "embedding_dup_pairs", "srp_ann_topk",
+    "srp_dup_pairs", "ivf_ann_topk",
+    # needle-scan family (self-generated needles over hostile docs)
+    "ngram_overlap_scan", "ngram_overlap_dist",
     # events family (hostile events.parquet: NULL users/types, equal
     # timestamps, NaN values, one mega-user)
     "user_top_event", "sessionize_events", "running_totals",
@@ -78,8 +84,11 @@ def hostile_sf_dir(spark, tmp_path_factory):
         {
             "vec_id": np.arange(40, dtype=np.int64),
             "embedding": [
-                # include zero vectors (norm guard) and huge magnitudes
-                (np.zeros(16) if i % 7 == 0 else rng.randn(16) * (1e6 if i % 5 == 0 else 1.0)).astype(np.float32)
+                # dim 64 = the fixture-table contract the SRP/IVF queries
+                # configure for (srp_signature_udf raises descriptively on
+                # any other dim); include zero vectors (norm guard) and
+                # huge magnitudes (overflow exercise)
+                (np.zeros(64) if i % 7 == 0 else rng.randn(64) * (1e6 if i % 5 == 0 else 1.0)).astype(np.float32)
                 for i in range(40)
             ],
         }
