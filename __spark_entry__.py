@@ -806,6 +806,29 @@ def q_srp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED embedding-cosine near-dup over raw TEXT (query 60): the
+    two r06 tiers chained the way a real pipeline runs them — documents
+    → hashed TF-IDF dense embeddings (operators/embedding.py: one
+    bounded-dim dfreq pass + ONE Arrow map, zero corpus shuffle) → SRP
+    banded self-join near-dup pairs (operators/similarity.py: ids-only
+    band shuffle, hot-bucket guard, exact einsum re-rank). dim=256 (64
+    collides same-language docs into median-0.68 cosine; 256 separates),
+    threshold 0.9 with the operator's production 64-plane/8-bit banding
+    (recall ≈0.94 at cos 0.9 by the SRP s-curve). Golden twin:
+    make_golden.g_text_dup_pairs — same kernels end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = embedding_mod.doc_embeddings(docs, dim=256)
+    return similarity.srp_dup_pairs(
+        emb,
+        dim=256,
+        threshold=0.9,
+        id_col="doc_id",
+        n_planes=64,
+        band_bits=8,
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair -> CLUSTER resolution: connected components
     (alternating large-star/small-star equi-join iterations, operators/
@@ -1145,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "srp_ann_topk": q_srp_ann_topk,
         "srp_dup_pairs": q_srp_dup_pairs,
+        "text_dup_pairs": q_text_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "near_dedup_keep": q_near_dedup_keep,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1377,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _golden_sql("winnow_pairs"),
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
         "srp_dup_pairs": _golden_sql("srp_dup_pairs"),
+        "text_dup_pairs": _golden_sql("text_dup_pairs"),
         "dedup_clusters": _golden_sql("dedup_clusters"),
         "near_dedup_keep": f"""
             SELECT d.doc_id FROM documents d

@@ -315,19 +315,28 @@ def g_srp_ann_topk(emb: pd.DataFrame, dim: int = 64, k: int = 5) -> pd.DataFrame
 
 
 def g_srp_dup_pairs(
-    emb: pd.DataFrame, dim: int = 64, threshold: float = 0.45, max_bucket: int = 500
+    emb: pd.DataFrame,
+    dim: int = 64,
+    threshold: float = 0.45,
+    max_bucket: int = 500,
+    n_planes: int | None = None,
+    band_bits: int = BAND_BITS,
 ) -> pd.DataFrame:
     """Twin of srp_dup_pairs: same planes/banding (incl. hot-bucket guard),
-    same cos_pairwise kernel on the candidate pairs."""
+    same cos_pairwise kernel on the candidate pairs. Banding params mirror
+    the operator's (defaults = the module constants the fixture query
+    uses); the uint64 weight formulation is the sig UDF's own — at 64
+    planes the top bit wraps identically in both int64 and uint64 views."""
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
-    planes = _planes(dim)
+    planes = _planes(dim) if n_planes is None else _planes(dim, n_planes)
     bits = rowwise_gemm(mat, planes) > 0  # same kernel as the sig UDF
-    weights = (1 << np.arange(planes.shape[1])).astype(np.int64)
-    sig = (bits @ weights).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(planes.shape[1], dtype=np.uint64)
+    sig = bits.astype(np.uint64) @ weights
     ids = emb["vec_id"].to_numpy()
-    mask = np.uint64((1 << BAND_BITS) - 1)
+    n_bands = planes.shape[1] // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
     band_keys = [
-        ((sig >> np.uint64(BAND_BITS * b)) & mask) for b in range(SRP_BANDS)
+        ((sig >> np.uint64(band_bits * b)) & mask) for b in range(n_bands)
     ]
     id_to_row = {int(i): r for r, i in enumerate(ids)}
     cand = sorted(_band_pairs(ids, band_keys, max_bucket=max_bucket))
@@ -347,6 +356,44 @@ def g_srp_dup_pairs(
             "id_b": np.array([b for _, b in cand], dtype=np.int64)[keep],
             "cos_sim": cos[keep],
         }
+    )
+
+
+def g_text_dup_pairs(
+    docs: pd.DataFrame,
+    dim: int = 256,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    band_bits: int = 8,
+) -> pd.DataFrame:
+    """Twin of q_text_dup_pairs — the COMPOSED text → hashed-TF-IDF →
+    SRP near-dup query. Embeddings via the SAME kernels the Arrow map
+    calls (embedding._batch_tf_matrix / idf_vector; batch-composition
+    independence is property-tested, so one full-corpus batch == Spark's
+    arbitrary batching), same float order of ops as doc_embeddings.emit
+    (float64 tf → *= idf → rowwise L2 → float32 cast), then the
+    parametrized SRP twin at the operator's production 64/8 banding."""
+    from langid_py_spark.operators.embedding import _batch_tf_matrix, idf_vector
+
+    texts = docs["text"].tolist()
+    tf = _batch_tf_matrix(texts, dim).astype(np.float64)
+    dfreq = [
+        (b, int((tf[:, b] > 0).sum())) for b in range(dim) if (tf[:, b] > 0).any()
+    ]
+    idf = idf_vector(dfreq, len(texts), dim)
+    mat = tf
+    mat *= idf
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    nz = norms > 0
+    mat[nz] /= norms[nz, None]
+    emb = pd.DataFrame(
+        {
+            "vec_id": docs["doc_id"].to_numpy(),
+            "embedding": [row.astype(np.float32) for row in mat],
+        }
+    )
+    return g_srp_dup_pairs(
+        emb, dim=dim, threshold=threshold, n_planes=n_planes, band_bits=band_bits
     )
 
 
@@ -602,6 +649,7 @@ def main() -> None:
         "dedup_clusters": g_dedup_clusters([mh, sh, wp]),
         "srp_ann_topk": g_srp_ann_topk(emb),
         "srp_dup_pairs": g_srp_dup_pairs(emb),
+        "text_dup_pairs": g_text_dup_pairs(docs),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
         "substring_spans_winnowed": g_substring_spans_winnowed(docs),
         "minhash_cross_pairs": g_minhash_cross_pairs(docs),
