@@ -36,6 +36,7 @@ from langid_py_spark.operators import (
     quality_classifier,
     repetition,
     sampling,
+    semdedup as semdedup_mod,
     similarity,
     spandedup,
     textstats,
@@ -829,6 +830,25 @@ def q_text_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (query 61, Abbas 2023): semantic dedup FROM raw text —
+    documents → hashed TF-IDF embeddings (dim 256, same tier as query
+    60) → spherical k-means coarse quantizer (the IVF sample fit,
+    deterministic) → within-cluster greedy cosine pruning at eps 0.9
+    (operators/semdedup.py: zero-shuffle Arrow assignment, ONE
+    groupBy(cluster_id) shuffle, chunked rowwise_gemm kernel shared
+    with the golden twin make_golden.g_semdedup_drops). The embedding
+    table is persisted because BOTH the centroid fit (bounded
+    orderBy-limit sample pull) and the assignment scan consume it.
+    Emits the rows SemDeDup would REMOVE: (doc_id, dup_of, cluster_id,
+    cos_sim) with the keep-the-farthest-from-centroid representative
+    rule."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = embedding_mod.doc_embeddings(docs, dim=256).persist()
+    cents = similarity.fit_ivf_centroids(emb, n_centroids=16, id_col="doc_id")
+    return semdedup_mod.semdedup_drops(emb, cents, eps=0.9, id_col="doc_id")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair -> CLUSTER resolution: connected components
     (alternating large-star/small-star equi-join iterations, operators/
@@ -1169,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann_topk,
         "srp_dup_pairs": q_srp_dup_pairs,
         "text_dup_pairs": q_text_dup_pairs,
+        "semdedup_drops": q_semdedup_drops,
         "dedup_clusters": q_dedup_clusters,
         "near_dedup_keep": q_near_dedup_keep,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1402,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_ann_topk": _golden_sql("srp_ann_topk"),
         "srp_dup_pairs": _golden_sql("srp_dup_pairs"),
         "text_dup_pairs": _golden_sql("text_dup_pairs"),
+        "semdedup_drops": _golden_sql("semdedup_drops"),
         "dedup_clusters": _golden_sql("dedup_clusters"),
         "near_dedup_keep": f"""
             SELECT d.doc_id FROM documents d

@@ -359,20 +359,13 @@ def g_srp_dup_pairs(
     )
 
 
-def g_text_dup_pairs(
-    docs: pd.DataFrame,
-    dim: int = 256,
-    threshold: float = 0.9,
-    n_planes: int = 64,
-    band_bits: int = 8,
-) -> pd.DataFrame:
-    """Twin of q_text_dup_pairs — the COMPOSED text → hashed-TF-IDF →
-    SRP near-dup query. Embeddings via the SAME kernels the Arrow map
-    calls (embedding._batch_tf_matrix / idf_vector; batch-composition
+def _tfidf_emb32(docs: pd.DataFrame, dim: int) -> np.ndarray:
+    """Hashed TF-IDF embeddings via the SAME kernels the Arrow map calls
+    (embedding._batch_tf_matrix / idf_vector; batch-composition
     independence is property-tested, so one full-corpus batch == Spark's
     arbitrary batching), same float order of ops as doc_embeddings.emit
-    (float64 tf → *= idf → rowwise L2 → float32 cast), then the
-    parametrized SRP twin at the operator's production 64/8 banding."""
+    (float64 tf → *= idf → rowwise L2 → float32 cast). Returns the
+    (n, dim) float32 matrix in docs row order."""
     from langid_py_spark.operators.embedding import _batch_tf_matrix, idf_vector
 
     texts = docs["text"].tolist()
@@ -386,14 +379,87 @@ def g_text_dup_pairs(
     norms = np.sqrt((mat * mat).sum(axis=1))
     nz = norms > 0
     mat[nz] /= norms[nz, None]
+    return mat.astype(np.float32)
+
+
+def g_text_dup_pairs(
+    docs: pd.DataFrame,
+    dim: int = 256,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    band_bits: int = 8,
+) -> pd.DataFrame:
+    """Twin of q_text_dup_pairs — the COMPOSED text → hashed-TF-IDF →
+    SRP near-dup query: `_tfidf_emb32` embeddings, then the parametrized
+    SRP twin at the operator's production 64/8 banding."""
+    m32 = _tfidf_emb32(docs, dim)
     emb = pd.DataFrame(
         {
             "vec_id": docs["doc_id"].to_numpy(),
-            "embedding": [row.astype(np.float32) for row in mat],
+            "embedding": [row for row in m32],
         }
     )
     return g_srp_dup_pairs(
         emb, dim=dim, threshold=threshold, n_planes=n_planes, band_bits=band_bits
+    )
+
+
+def g_semdedup_drops(
+    docs: pd.DataFrame, dim: int = 256, n_centroids: int = 16, eps: float = 0.9
+) -> pd.DataFrame:
+    """Twin of q_semdedup_drops — text → hashed-TF-IDF → spherical
+    k-means clusters → within-cluster greedy semantic dedup. Every
+    float-bearing step runs the operator's own kernels: `_tfidf_emb32`
+    (embedding kernels), `spherical_kmeans` on the id-sorted float32→
+    float64 matrix (== fit_ivf_centroids' orderBy(id).limit(sample)
+    pull at fixture scale), assignment = argmax(rowwise_gemm(nm, C.T))
+    (== ivf_assign_udf's formula, same `_l2_normalize`), and
+    `semdedup.semdedup_cluster` per cluster — so the only thing this
+    golden trusts Spark for is the groupBy/applyInPandas plumbing it
+    exists to pin."""
+    from langid_py_spark.operators.semdedup import semdedup_cluster
+    from langid_py_spark.operators.similarity import (
+        _l2_normalize,
+        spherical_kmeans,
+    )
+
+    m32 = _tfidf_emb32(docs, dim)
+    ids = docs["doc_id"].to_numpy()
+    fit_order = np.argsort(ids, kind="stable")
+    fitmat = np.vstack([m32[i].astype(np.float64) for i in fit_order])
+    cents = spherical_kmeans(fitmat, n_centroids)
+    full = np.vstack([r.astype(np.float64) for r in m32])
+    assign = np.argmax(rowwise_gemm(_l2_normalize(full), cents.T), axis=1)
+    out: list[pd.DataFrame] = []
+    for cid in range(n_centroids):
+        m = assign == cid
+        if not m.any():
+            continue
+        d_ids, d_of, d_cos = semdedup_cluster(ids[m], full[m], cents[cid], eps)
+        if len(d_ids):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d_ids,
+                        "dup_of": d_of,
+                        "cluster_id": np.full(len(d_ids), cid, dtype=np.int64),
+                        "cos_sim": rhu(d_cos, 6),
+                    }
+                )
+            )
+    if not out:
+        return pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=ids.dtype),
+                "dup_of": np.empty(0, dtype=ids.dtype),
+                "cluster_id": np.empty(0, dtype=np.int64),
+                "cos_sim": np.empty(0, dtype=np.float64),
+            }
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values(["doc_id", "dup_of"])
+        .reset_index(drop=True)
     )
 
 
@@ -650,6 +716,7 @@ def main() -> None:
         "srp_ann_topk": g_srp_ann_topk(emb),
         "srp_dup_pairs": g_srp_dup_pairs(emb),
         "text_dup_pairs": g_text_dup_pairs(docs),
+        "semdedup_drops": g_semdedup_drops(docs),
         "ivf_ann_topk": g_ivf_ann_topk(emb),
         "substring_spans_winnowed": g_substring_spans_winnowed(docs),
         "minhash_cross_pairs": g_minhash_cross_pairs(docs),
