@@ -197,6 +197,60 @@ def idf_vector(dfreq_rows, n_docs: int, dim: int) -> np.ndarray:
     return np.log((1.0 + n_docs) / (1.0 + dfv)) + 1.0
 
 
+def dense_doc_freq(
+    df: DataFrame, text_col: str = "text", dim: int = DEFAULT_DIM
+) -> tuple[list[tuple[int, int]], int]:
+    """((bucket, df_bucket) rows, n_docs) in ONE corpus scan with a
+    dim-bounded shuffle.
+
+    The Catalyst path (`bucket_doc_freq(hashed_tf(...))`) shuffles one
+    row per DISTINCT (doc, bucket) pair — ~docs × dim rows at corpus
+    scale, purely to then collapse them to ≤ dim counts. Here each
+    Arrow batch reduces to a dim-length presence histogram via the same
+    `_batch_tf_matrix` kernel (so bucket identities are bit-identical
+    to the Catalyst path — parity-tested), plus one sentinel row
+    carrying the batch's doc count: the shuffle is dim+1 rows PER
+    BATCH regardless of corpus size, and the doc count rides the same
+    scan instead of a second one. Counts are integer sums in either
+    plan, so the result — and every idf/golden downstream — is
+    identical.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    buckets = np.arange(-1, dim, dtype=np.int64)  # -1 = doc-count sentinel
+
+    def presence(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            texts = b[text_col].tolist()
+            counts = (_batch_tf_matrix(texts, dim) > 0).sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "bucket": buckets,
+                    "n": np.concatenate([[len(texts)], counts]).astype(np.int64),
+                }
+            )
+
+    rows = (
+        df.select(text_col)
+        .mapInPandas(presence, schema=out_schema)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    n_docs = 0
+    dfreq: list[tuple[int, int]] = []
+    for r in rows:
+        if r["bucket"] < 0:
+            n_docs = int(r["n"])
+        elif r["n"] > 0:
+            dfreq.append((int(r["bucket"]), int(r["n"])))
+    return dfreq, n_docs
+
+
 def doc_embeddings(
     df: DataFrame,
     text_col: str = "text",
@@ -206,20 +260,16 @@ def doc_embeddings(
     """(id, embedding array<float>) — dense L2-normalized hashed
     TF-IDF, the input shape the ANN operators consume.
 
-    Two passes: (1) bucket document frequencies — an aggregation whose
-    result is ≤ dim rows, pulled to the driver (bounded-dim pattern,
-    like the IVF centroids) and baked into the idf closure; (2) ONE
-    Arrow map over the corpus — tokenize (same compiled dialect
-    regex), hash, bincount, idf-scale, L2-normalize per batch. No
-    corpus-scale shuffle anywhere; an all-empty-doc corpus yields zero
-    vectors (normalized only where the norm is positive).
+    Two passes: (1) `dense_doc_freq` — bucket document frequencies AND
+    the doc count in one corpus scan whose shuffle is dim+1 rows per
+    Arrow batch, pulled to the driver (bounded-dim pattern, like the
+    IVF centroids) and baked into the idf closure; (2) ONE Arrow map
+    over the corpus — tokenize (same compiled dialect regex), hash,
+    bincount, idf-scale, L2-normalize per batch. No corpus-scale
+    shuffle anywhere; an all-empty-doc corpus yields zero vectors
+    (normalized only where the norm is positive).
     """
-    dfreq_rows = [
-        (r["bucket"], r["df_bucket"])
-        for r in bucket_doc_freq(hashed_tf(df, text_col, id_col, dim), id_col)
-        .collect()
-    ]
-    n_docs = df.count()
+    dfreq_rows, n_docs = dense_doc_freq(df, text_col, dim)
     idf = idf_vector(dfreq_rows, n_docs, dim)
 
     out_schema = T.StructType(

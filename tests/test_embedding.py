@@ -85,6 +85,22 @@ def test_dense_embeddings_match_naive(spark, hostile_df):
     assert abs(np.linalg.norm(emb[0]) - 1.0) < 1e-5
 
 
+def test_dense_doc_freq_matches_catalyst_path(spark, hostile_df):
+    """The one-scan batch-presence dfreq (dim+1 rows per batch shuffle)
+    must equal the Catalyst explode→groupBy path exactly — integer
+    counts, so any divergence is a bucket-identity bug."""
+    dfreq, n_docs = E.dense_doc_freq(hostile_df)
+    exp = {
+        (int(r["bucket"]), int(r["df_bucket"]))
+        for r in E.bucket_doc_freq(E.hashed_tf(hostile_df)).collect()
+    }
+    assert set(dfreq) == exp
+    assert n_docs == len(HOSTILE)
+    # batch-boundary invariance: single-row partitions give same totals
+    dfreq1, n1 = E.dense_doc_freq(hostile_df.repartition(len(HOSTILE)))
+    assert sorted(dfreq1) == sorted(dfreq) and n1 == n_docs
+
+
 def test_case_sensitivity_is_deliberate():
     a = E.py_tf_vector("Token")
     b = E.py_tf_vector("token")
