@@ -544,6 +544,33 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXTURE_BUDGETS = {
+    # cuts mid-source (src0/src1/src9), keeps a source whole (src5),
+    # zero-budget edge (src7 — only zero-token docs survive), and every
+    # unlisted source is excluded by the spec
+    "src0": 800,
+    "src1": 1200,
+    "src5": 5000,
+    "src7": 0,
+    "src9": 700,
+}
+
+
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted mixture sampling (query 63): fill per-source TOKEN
+    budgets in deterministic hash order — the "N billion tokens, X% per
+    domain" mixture builder between filtering and the trainer.
+    Integer-exact semantics (inclusive per-source cumsum <= budget over
+    (md5 ASC, id ASC)); distributed as the packing-style two-level
+    prefix sum keyed by (source, md5-first-byte bucket) so no
+    single-task per-source sort exists at any corpus size. Oracle: the
+    naive per-source global-window formulation in DuckDB."""
+    from langid_py_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(docs, _MIXTURE_BUDGETS)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (query 55): concat-then-chunk the corpus into
     2048-token training bins in deterministic hash order. Distributed
@@ -847,6 +874,20 @@ def q_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = embedding_mod.doc_embeddings(docs, dim=256).persist()
     cents = similarity.fit_ivf_centroids(emb, n_centroids=16, id_col="doc_id")
     return semdedup_mod.semdedup_drops(emb, cents, eps=0.9, id_col="doc_id")
+
+
+def q_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor view of SemDeDup (query 62): documents left after
+    dropping query 61's semantic duplicates — the anti-join the
+    training pipeline actually consumes. Oracle: documents anti-joined
+    with the semdedup_drops golden (the near_dedup_keep pattern), so
+    the drop list comes from the golden while the anti-join itself is
+    independently re-executed by DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    drops = q_semdedup_drops(spark, sf_dir)
+    return semdedup_mod.semdedup_keep(docs, drops, id_col="doc_id").select(
+        "doc_id"
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_sample": q_balanced_sample,
         "hash_sample": q_hash_sample,
         "temperature_sample": q_temperature_sample,
+        "token_budget_mixture": q_token_budget_mixture,
         "pack_sequences": q_pack_sequences,
         "lm_ngram_topk": q_lm_ngram_topk,
         "hashed_tf_vectors": q_hashed_tf_vectors,
@@ -1190,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_dup_pairs": q_srp_dup_pairs,
         "text_dup_pairs": q_text_dup_pairs,
         "semdedup_drops": q_semdedup_drops,
+        "semdedup_keep": q_semdedup_keep,
         "dedup_clusters": q_dedup_clusters,
         "near_dedup_keep": q_near_dedup_keep,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1311,6 +1354,9 @@ def oracle_sql() -> dict[str, str]:
             cols=["doc_id", "lang"]
         ),
         "temperature_sample": _temperature_oracle_sql(),
+        "token_budget_mixture": sampling.token_budget_sample_oracle_sql(
+            _MIXTURE_BUDGETS
+        ),
         "user_top_event": """
             SELECT user_id, event_type AS top_event_type, n_events FROM (
                 SELECT user_id, event_type, count(*) AS n_events,
@@ -1424,6 +1470,12 @@ def oracle_sql() -> dict[str, str]:
         "srp_dup_pairs": _golden_sql("srp_dup_pairs"),
         "text_dup_pairs": _golden_sql("text_dup_pairs"),
         "semdedup_drops": _golden_sql("semdedup_drops"),
+        "semdedup_keep": f"""
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN ({_golden_sql("semdedup_drops")}) drop_list
+              ON d.doc_id = drop_list.doc_id
+            WHERE drop_list.doc_id IS NULL
+        """,
         "dedup_clusters": _golden_sql("dedup_clusters"),
         "near_dedup_keep": f"""
             SELECT d.doc_id FROM documents d

@@ -233,3 +233,152 @@ def temperature_sample(
         .filter(F.col("_rk") <= F.col("_target"))
         .drop("_rk", "_target", "_tg")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "s42",
+    n_tokens_col: str | None = None,
+    max_sources: int = 1024,
+) -> DataFrame:
+    """Budgeted mixture sampling — fill each source's TOKEN budget (not
+    row count) in deterministic hash order: the operator a trainer runs
+    to build "300B tokens: 60% web, 30% code, 10% books" from a
+    filtered corpus. Sources absent from `budgets` are excluded (a
+    mixture spec lists exactly what it wants); a NULL source never
+    matches a spec key and is likewise excluded.
+
+    Semantics (integer-exact, engine-identical): per source, order docs
+    by (md5(id||salt) ASC, id ASC) and keep the prefix whose INCLUSIVE
+    cumulative token count stays <= budget — after the first overshoot
+    the cumsum only grows, so the kept set is a contiguous prefix.
+    Zero-token docs are free and survive any budget. Output columns
+    (doc_id, source, n_tokens, cum_tokens) are all integers, so the
+    DuckDB oracle is exact — no float anywhere.
+
+    Scale story (the packing.py two-level prefix sum, keyed per
+    source): the per-source running total is computed inside 256
+    hash-prefix buckets — the bucket IS the first md5 byte, so
+    ordering by (bucket, hash) equals ordering by hash and the naive
+    single-window oracle describes the same total order. One window
+    shuffle on the uniform (source, bucket) key, one bounded driver
+    pull (<= |sources| x 256 rows, guarded by `max_sources`), one
+    broadcast back. No single-task global sort at any corpus size.
+    """
+    if not budgets:
+        raise ValueError("token_budget_sample: budgets must be non-empty")
+    if len(budgets) > max_sources:
+        raise ValueError(
+            f"token_budget_sample: {len(budgets)} sources > max_sources="
+            f"{max_sources} — the per-(source, bucket) totals are a driver "
+            "pull of |sources| x 256 rows by design; raise max_sources only "
+            "if that stays driver-feasible"
+        )
+    if any(int(b) < 0 for b in budgets.values()):
+        raise ValueError("token_budget_sample: budgets must be >= 0")
+
+    from pyspark import StorageLevel
+
+    from langid_py_spark import config as C
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_tokens = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.regexp_count(t, F.lit(C.WORD_RUN_PATTERN)).cast("long")
+    )
+    h = _hash_col(id_col, salt)
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        sorted((s, int(b)) for s, b in budgets.items()),
+        f"{source_col} string, _budget long",
+    )
+    base = (
+        df.join(F.broadcast(bdf), source_col)  # inner join = the source filter
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col("_budget"),
+            n_tokens.alias("n_tokens"),
+            h.alias("_h"),
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("_bkt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        # evaluated twice (totals pull + final windowed plan) — the
+        # packing.py persist convention
+    )
+    w = Window.partitionBy(source_col, "_bkt").orderBy(F.asc("_h"), F.asc(id_col))
+    in_bucket = base.withColumn(
+        "_cum_in",
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals: dict[tuple[str, int], int] = {
+        (r[source_col], r["_bkt"]): r["_tot"]
+        for r in base.groupBy(source_col, "_bkt")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .collect()
+    }
+    rows = []
+    for s in sorted({src for src, _ in totals}):
+        acc = 0
+        for b in range(256):
+            if (s, b) in totals:
+                rows.append((s, b, acc))
+                acc += int(totals[(s, b)])
+    base_cols = f"{source_col} string, _bkt int, _base long"
+    base_df = spark.createDataFrame(rows, base_cols)
+    cum = F.col("_base") + F.col("_cum_in")
+    return (
+        in_bucket.join(F.broadcast(base_df), [source_col, "_bkt"])
+        .filter(cum <= F.col("_budget"))
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            cum.alias("cum_tokens"),
+        )
+    )
+
+
+def token_budget_sample_oracle_sql(
+    budgets: dict[str, int],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "s42",
+) -> str:
+    """Naive per-source global-window twin (independent formulation —
+    single window per source, fine at oracle scale). Integer-exact."""
+    from langid_py_spark import config as C
+
+    srcs = ", ".join(f"'{s}'" for s in sorted(budgets))
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(b)}" for s, b in sorted(budgets.items())
+    )
+    return f"""
+    WITH base AS (
+        SELECT {id_col}, {source_col},
+               CAST(len(regexp_extract_all(coalesce(text, ''), '{C.WORD_RUN_PATTERN}')) AS BIGINT)
+                   AS n_tokens,
+               md5(CAST({id_col} AS VARCHAR) || '{salt}') AS h
+        FROM {table}
+        WHERE {source_col} IN ({srcs})
+    ),
+    offs AS (
+        SELECT {id_col}, {source_col}, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY {source_col}
+                                        ORDER BY h ASC, {id_col} ASC
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_tokens
+        FROM base
+    )
+    SELECT {id_col}, {source_col}, n_tokens, cum_tokens
+    FROM offs
+    WHERE cum_tokens <= CASE {source_col} {case} END
+    """

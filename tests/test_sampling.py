@@ -184,3 +184,86 @@ def test_pack_sequences_randomized_matches_naive(spark):
     assert len(got) == 400
     for r in got.itertuples():
         assert want[r.doc_id] == (r.n_tokens, r.start_offset, r.bin_id), r.doc_id
+
+
+def test_token_budget_sample_matches_naive_twin(spark):
+    """Per-source prefix-fill semantics vs a pandas twin, incl. the
+    zero-budget, keeps-all, and excluded-source edges."""
+    import hashlib
+
+    from langid_py_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    budgets = {"src0": 300, "src1": 10_000, "src2": 0, "src4": 150}
+    got = token_budget_sample(docs, budgets).toPandas()
+
+    pdf = docs.select("doc_id", "source", "text").toPandas()
+    pdf = pdf[pdf["source"].isin(budgets)]
+    pdf["n_tokens"] = (
+        pdf["text"].fillna("").str.findall(C.WORD_RUN_PATTERN).str.len()
+    )
+    pdf["h"] = [
+        hashlib.md5(f"{d}s42".encode()).hexdigest() for d in pdf["doc_id"]
+    ]
+    pdf = pdf.sort_values(["source", "h", "doc_id"]).reset_index(drop=True)
+    pdf["cum"] = pdf.groupby("source")["n_tokens"].cumsum()
+    want = pdf[pdf["cum"] <= pdf["source"].map(budgets)]
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    w = {r.doc_id: (r.n_tokens, r.cum) for r in want.itertuples()}
+    for r in got.itertuples():
+        assert (r.n_tokens, r.cum_tokens) == w[r.doc_id]
+    # non-vacuity: at least one source cut mid-way, one kept whole
+    per_src = got.groupby("source").size()
+    tot = pdf.groupby("source").size()
+    assert (per_src.reindex(tot.index).fillna(0) < tot).any()
+    assert (per_src.reindex(tot.index) == tot).any()
+    # excluded sources never appear
+    assert set(got["source"]) <= set(budgets)
+
+
+def test_token_budget_sample_monotone_and_partition_invariant(spark):
+    from langid_py_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    small = {r.doc_id for r in token_budget_sample(docs, {"src0": 200}).collect()}
+    big = {r.doc_id for r in token_budget_sample(docs, {"src0": 600}).collect()}
+    assert small < big  # strict: budget 600 adds docs at this sf
+    a = {
+        tuple(r)
+        for r in token_budget_sample(docs.repartition(1), {"src0": 600}).collect()
+    }
+    b = {
+        tuple(r)
+        for r in token_budget_sample(docs.repartition(7), {"src0": 600}).collect()
+    }
+    assert a == b
+
+
+def test_token_budget_sample_guards(spark):
+    from langid_py_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="non-empty"):
+        token_budget_sample(docs, {})
+    with pytest.raises(ValueError, match=">= 0"):
+        token_budget_sample(docs, {"src0": -1})
+    with pytest.raises(ValueError, match="max_sources"):
+        token_budget_sample(docs, {"a": 1, "b": 2}, max_sources=1)
+
+
+def test_token_budget_sample_zero_token_docs_are_free(spark):
+    """Zero-token docs survive a zero budget; the first real doc does
+    not — in both engines (dialect check rides the oracle test)."""
+    from langid_py_spark.operators.sampling import token_budget_sample
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["s"] * 4,
+            "text": ["", "   ", "one two three", None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = token_budget_sample(df, {"s": 0}).toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 4]
+    assert (got["n_tokens"] == 0).all() and (got["cum_tokens"] == 0).all()
