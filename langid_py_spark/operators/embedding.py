@@ -271,6 +271,23 @@ def doc_embeddings(
     """
     dfreq_rows, n_docs = dense_doc_freq(df, text_col, dim)
     idf = idf_vector(dfreq_rows, n_docs, dim)
+    return embed_with_idf(df, idf, text_col=text_col, id_col=id_col)
+
+
+def embed_with_idf(
+    df: DataFrame,
+    idf: np.ndarray,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The embedding map alone, with a FROZEN idf vector riding the
+    closure — a stateless Arrow map, so it runs under readStream
+    unchanged (the production shape for continuous ingest: fit idf —
+    and centroids — on the reference corpus once, embed arrivals
+    forever; stream==batch parity-tested). `doc_embeddings` is this
+    plus the idf fit."""
+    dim = len(idf)
+    idf = np.asarray(idf, dtype=np.float64)
 
     out_schema = T.StructType(
         [

@@ -354,3 +354,62 @@ def test_streaming_classifier_matches_batch(spark, tmp_path):
     assert {r.doc_id for r in got} == batch_kept
     for r in got:
         assert (r.clf_score, r.clf_keep) == batch_scores[r.doc_id], r.doc_id
+
+
+def test_streaming_embedding_and_assignment_match_batch(spark, tmp_path):
+    """The embedding tier's production streaming shape: fit idf and
+    k-means centroids on the reference corpus ONCE (batch), then embed
+    + cluster-assign arrivals as stateless Arrow maps under readStream
+    — embeddings and assignments byte-identical to batch."""
+    import numpy as np
+    import pandas as pd
+
+    from langid_py_spark.operators.embedding import (
+        dense_doc_freq,
+        embed_with_idf,
+        idf_vector,
+    )
+    from langid_py_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_assign_udf,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    docs_pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    spark.createDataFrame(docs_pdf).repartition(4).write.parquet(src)
+    batch_docs = spark.read.parquet(src)
+
+    dim = 64
+    dfreq, n_docs = dense_doc_freq(batch_docs, dim=dim)
+    idf = idf_vector(dfreq, n_docs, dim)
+    batch_emb = embed_with_idf(batch_docs, idf)
+    cents = fit_ivf_centroids(batch_emb, n_centroids=4, id_col="doc_id")
+    assign = ivf_assign_udf(cents)
+    batch = {
+        r.doc_id: (tuple(r.embedding), r.cluster_id)
+        for r in batch_emb.withColumn(
+            "cluster_id", assign(F.col("embedding"))
+        ).collect()
+    }
+
+    stream_in = spark.readStream.schema(batch_docs.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        embed_with_idf(stream_in, idf)
+        .withColumn("cluster_id", assign(F.col("embedding")))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == len(batch) > 0
+    for r in got:
+        exp_emb, exp_cid = batch[r.doc_id]
+        assert r.cluster_id == exp_cid, r.doc_id
+        assert tuple(r.embedding) == exp_emb, r.doc_id  # float32 bit-equal
