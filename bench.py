@@ -213,6 +213,18 @@ def main() -> None:
             spark.catalog.clearCache(),
             run_noop(qs["corpus_pipeline"](spark, sf_dir)),
         )[-1],
+        # r06 late additions: the embedding->semantic-dedup tier (dfreq
+        # scan + Arrow embed map + k-means fit + cluster-pruning) and
+        # the integer-only mixture builder (window + broadcast joins).
+        # semdedup persists the embedding frame internally — clear the
+        # cache so timed runs measure the full recompute.
+        "semdedup": lambda: (
+            spark.catalog.clearCache(),
+            run_noop(qs["semdedup_drops"](spark, sf_dir)),
+        )[-1],
+        "token_mixture": lambda: run_noop(
+            qs["token_budget_mixture"](spark, sf_dir)
+        ),
     }
 
     calib_pre = _calibrate()
