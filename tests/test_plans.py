@@ -401,3 +401,44 @@ def test_corpus_pipeline_composed_plan(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "SinglePartition" not in p
+
+
+def test_semdedup_plan_single_cluster_shuffle(spark):
+    """SemDeDup: the only corpus-scale exchange is the groupBy on
+    cluster_id feeding the per-cluster kernel — assignment is a
+    zero-shuffle Arrow map (centroids in the closure, no join)."""
+    import re
+
+    import numpy as np
+
+    from langid_py_spark.operators.semdedup import semdedup_drops
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = np.eye(4, 64, dtype=np.float64)
+    p = _plan(semdedup_drops(emb, cents, eps=0.9))
+    keys = [m.split("#")[0] for m in re.findall(
+        r"Exchange hashpartitioning\(([^,)]+)", p)]
+    assert keys == ["cluster_id"], keys
+    assert "BroadcastExchange" not in p, p  # no join anywhere
+    assert "SinglePartition" not in p, p
+
+
+def test_token_budget_sample_plan(spark):
+    """Mixture builder: ONE window exchange on the uniform
+    (source, md5-byte bucket) key; budgets and bucket bases arrive as
+    broadcasts; no per-source single-partition window."""
+    import re
+
+    from langid_py_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(token_budget_sample(docs, {"src0": 100, "src1": 200}))
+    ex = [m for m in re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", p)]
+    # window exchange on (source, _bkt); the totals-agg side is not part
+    # of the returned plan (bounded driver pull happens at build time)
+    win = [e for e in ex if "_bkt" in e]
+    assert len(ex) == len(win) == 1, ex
+    assert "source" in win[0] and "_bkt" in win[0], win
+    assert "BroadcastExchange" in p
+    assert "SinglePartition" not in p, p
