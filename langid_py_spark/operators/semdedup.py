@@ -87,21 +87,47 @@ def semdedup_cluster(
     drop_cos: list[float] = []
     for start in range(0, n, _CHUNK):
         blk = proc[start : start + _CHUNK]
+        kept_arr = np.asarray(kept, dtype=np.int64)
         if kept:
-            base = rowwise_gemm(nm[blk], nm[kept].T)  # (b, |kept|)
+            # (b, |kept|). rowwise_gemm's per-element value is the
+            # j-ordered dot of one a-row with one w-column, independent
+            # of how many rows/columns ride the call — so the cheaper
+            # orientation (fewer einsum column loops) gives identical
+            # bits; the chunk-boundary test varies _CHUNK and would
+            # catch any divergence.
+            if len(kept) > len(blk):
+                base = rowwise_gemm(nm[kept], nm[blk].T).T
+            else:
+                base = rowwise_gemm(nm[blk], nm[kept].T)
+            base_max = base.max(axis=1)  # vectorized: max is exact
         else:
             base = np.empty((len(blk), 0), dtype=np.float64)
+            base_max = np.full(len(blk), -np.inf)
         inblk = rowwise_gemm(nm[blk], nm[blk].T)  # (b, b)
         newly: list[int] = []  # positions within blk kept so far
         for bi, row in enumerate(blk):
-            sims = np.concatenate([base[bi], inblk[bi, newly]])
-            if sims.size and sims.max() >= eps:
-                best = sims.max()
-                cand_rows = np.concatenate(
-                    [np.asarray(kept, dtype=np.int64), blk[newly]]
-                ).astype(np.int64)
-                tied = cand_rows[sims == best]
-                # keeper ids are unique; min id among the cos ties
+            # best = max over (all kept, kept-so-far-in-block) — same
+            # value as the concatenated max (max is exact), without
+            # building a |kept|-wide array per row
+            best = base_max[bi]
+            if newly:
+                sb = inblk[bi, newly]
+                sbm = sb.max()
+                if sbm > best:
+                    best = sbm
+            if best >= eps:
+                # tie set: every candidate whose cos equals best;
+                # keeper = smallest id among them (ids are unique)
+                parts = []
+                if len(kept_arr):
+                    m = base[bi] == best
+                    if m.any():
+                        parts.append(kept_arr[m])
+                if newly:
+                    m = sb == best
+                    if m.any():
+                        parts.append(blk[np.asarray(newly)][m])
+                tied = np.concatenate(parts)
                 keeper = tied[np.argsort(ids[tied], kind="stable")[0]]
                 drop_rows.append(int(row))
                 drop_of.append(int(keeper))

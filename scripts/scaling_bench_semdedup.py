@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""N→4N scaling evidence for SemDeDup (r06):
+`semdedup_drops` — within-cluster semantic pruning over a
+pre-materialized embedding table (the embedding pass has its own row,
+scripts/scaling_bench_embedding.py; this isolates the dedup stage).
+
+Input prep (once, cached): sf-scale transcript docs → dense hashed
+TF-IDF (dim 256) written to parquet; centroids = the deterministic
+bounded-sample spherical-k-means fit with K=256, so clusters average
+~docs/256 rows — the paper's K-scales-with-corpus recipe. Each timed
+run is assignment (zero-shuffle Arrow map) + the ONE cluster-keyed
+shuffle + the greedy per-cluster kernel, to the noop sink.
+
+Protocol mirrors scripts/scaling_bench_minhash.py exactly: same input,
+local[N] vs local[4N] in separate JVMs, median of 3 warm runs (first
+run discarded), tmpfs shuffle dirs, 2 MB scan splits, busy-loop CPU
+ceiling measured beside the result. Machine must be otherwise idle
+(CLAUDE.md bench-contention protocol).
+
+Usage: python scripts/scaling_bench_semdedup.py [sf] [N]  (default 1.0, 2)
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from scaling_bench import hardware_ceiling  # noqa: E402
+
+DIM = 256
+K = 256
+EPS = 0.9
+
+CHILD = """
+import sys, time, json, statistics, os
+import numpy as np
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+from langid_py_spark.spark.session import get_spark
+from langid_py_spark.operators import semdedup
+spark = get_spark(cores={cores}, shuffle_partitions={cores}, app_name="scaling_semdedup",
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "2m",
+                               "spark.local.dir": "/dev/shm/spark-local"}})
+emb = spark.read.parquet({src!r})
+cents = np.load({cents!r})
+n = emb.count()
+samples = []
+for i in range(4):  # first run = warmup, discarded
+    t0 = time.time()
+    drops = semdedup.semdedup_drops(emb, cents, eps={eps}, id_col="doc_id")
+    drops.write.format("noop").mode("overwrite").save()
+    samples.append(time.time() - t0)
+med = statistics.median(samples[1:])
+print("RESULT " + json.dumps({{"cores": {cores}, "sec": med, "docs": n}}))
+"""
+
+
+def run_at(cores: int, src: str, cents_path: str) -> dict:
+    code = CHILD.format(
+        repo=str(REPO), cores=cores, src=src, cents=cents_path, eps=EPS
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT ") :])
+    raise RuntimeError(
+        f"no RESULT from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
+    )
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    from pyspark.sql import functions as F
+
+    from langid_py_spark.fixtures.transcripts import ensure_transcripts
+    from langid_py_spark.spark.session import get_spark
+
+    docs_src = str(REPO / ".cache" / f"minhash_docs_sf{sf}")
+    emb_src = str(REPO / ".cache" / f"embeddings_sf{sf}_dim{DIM}")
+    cents_path = str(REPO / ".cache" / f"centroids_sf{sf}_k{K}.npy")
+    if not (Path(emb_src) / "_SUCCESS").exists() or not Path(cents_path).exists():
+        from langid_py_spark.operators.embedding import doc_embeddings
+        from langid_py_spark.operators.similarity import fit_ivf_centroids
+
+        spark = get_spark(cores=16, shuffle_partitions=16, app_name="semdedup_gen")
+        if not (Path(docs_src) / "_SUCCESS").exists():
+            t = spark.read.parquet(ensure_transcripts(spark, sf))
+            docs = t.select(
+                F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+            ).repartition(64)
+            docs.write.mode("overwrite").parquet(docs_src)
+        emb = doc_embeddings(spark.read.parquet(docs_src), dim=DIM)
+        emb.write.mode("overwrite").parquet(emb_src)
+        cents = fit_ivf_centroids(
+            spark.read.parquet(emb_src), n_centroids=K, id_col="doc_id"
+        )
+        np.save(cents_path, cents)
+        spark.stop()
+
+    ceiling = hardware_ceiling(n)
+    rn = run_at(n, emb_src, cents_path)
+    r4n = run_at(4 * n, emb_src, cents_path)
+    tpn = rn["docs"] / rn["sec"]
+    tp4n = r4n["docs"] / r4n["sec"]
+    eff = (tp4n / tpn) / 4
+    result = {
+        "op": f"semdedup_drops K={K} dim={DIM} eps={EPS}",
+        "sf": sf,
+        "docs": rn["docs"],
+        "n_cores": n,
+        "localN_sec": round(rn["sec"], 2),
+        "local4N_sec": round(r4n["sec"], 2),
+        "localN_docs_per_sec": round(tpn, 1),
+        "local4N_docs_per_sec": round(tp4n, 1),
+        "scaling_efficiency_n_to_4n": round(eff, 3),
+        "hardware_cpu_ceiling": round(ceiling, 3),
+        "efficiency_vs_ceiling": round(eff / ceiling, 3),
+    }
+    print(json.dumps(result))
+
+    bench_md = REPO / "BENCH" / "BASELINE.md"
+    with bench_md.open("a") as f:
+        f.write(
+            f"| sf{sf} semdedup K{K} dim{DIM} | {result['docs']} | {n} | "
+            f"{result['localN_sec']} | {result['local4N_sec']} | "
+            f"{result['localN_docs_per_sec']} | {result['local4N_docs_per_sec']} | "
+            f"{result['scaling_efficiency_n_to_4n']} | "
+            f"{result['hardware_cpu_ceiling']} | "
+            f"{result['efficiency_vs_ceiling']} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
