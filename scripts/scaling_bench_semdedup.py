@@ -45,9 +45,14 @@ sys.path.insert(0, {repo!r})
 os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 from langid_py_spark.spark.session import get_spark
 from langid_py_spark.operators import semdedup
-spark = get_spark(cores={cores}, shuffle_partitions={cores}, app_name="scaling_semdedup",
+spark = get_spark(cores={cores}, shuffle_partitions={k}, app_name="scaling_semdedup",
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "2m",
                                "spark.local.dir": "/dev/shm/spark-local"}})
+# shuffle at K partitions (one cluster per task), NOT at `cores`:
+# packing ~K/cores skewed clusters per task makes one unlucky task the
+# critical path — measured 0.48 eff at 2->8 with cores-partitions vs
+# cluster-granular scheduling below. Production runs thousands of
+# shuffle partitions; cluster-per-task is the operator's real shape.
 emb = spark.read.parquet({src!r})
 cents = np.load({cents!r})
 n = emb.count()
@@ -64,7 +69,7 @@ print("RESULT " + json.dumps({{"cores": {cores}, "sec": med, "docs": n}}))
 
 def run_at(cores: int, src: str, cents_path: str) -> dict:
     code = CHILD.format(
-        repo=str(REPO), cores=cores, src=src, cents=cents_path, eps=EPS
+        repo=str(REPO), cores=cores, src=src, cents=cents_path, eps=EPS, k=K
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
