@@ -30,6 +30,24 @@ Scale story (100 TB):
   RAISES with that instruction rather than silently degrading recall
   or building an unbounded sim matrix (the bounded-pull precedent:
   similarity.MAX_DRIVER_QUERIES);
+* **"raise K" does not bound the max cluster on modal data** —
+  measured on 1.03M sf1 transcript embeddings: the largest k-means
+  cluster held 46,363 rows (17.8% of all quadratic greedy work) at
+  K=256 and was STILL 46,363 rows at K=1024 (k-means splits the tail,
+  not the dense mode; top-1 work share rose to 30%), capping N→4N
+  scaling at 0.42 (BENCH/BASELINE.md round-6 semdedup rows). The
+  scale-safe route is `on_oversized="salt"`: a deterministic sampled
+  pre-count (the `dedup.hot_keys` pattern) estimates per-cluster
+  sizes, oversized clusters are split into ceil(n·1.25/max_cluster)
+  salt buckets by a doc-id hash (uniform by construction — unlike any
+  direction-based split, which a blob of near-identical vectors
+  defeats), and the greedy runs per (cluster, salt). Semantics are
+  disclosed, not silent: every salt bucket is deduped exactly; a
+  dup-group straddling buckets keeps ≤ n_sub representatives instead
+  of 1 (only in clusters that exceeded max_cluster, i.e. exactly
+  where unsalted SemDeDup would not finish). Still ONE corpus-scale
+  shuffle — the pre-count shuffles only map-side-combined partials
+  over a key of bounded cardinality K;
 * both the kernel's chunked GEMMs and the assignment run through
   `rowwise_gemm`, so per-row bits are independent of chunk/batch shape
   and the golden twin (scripts/make_golden.py imports THIS kernel)
@@ -140,6 +158,17 @@ def semdedup_cluster(
     return ids[dr], ids[do], np.asarray(drop_cos, dtype=np.float64)
 
 
+def _sampled_cluster_counts(assigned: DataFrame, id_col: str, denom: int) -> DataFrame:
+    """(cluster_id, _hn) over a deterministic 1/denom id-hash sample.
+    The filter references only id_col, so Catalyst pushes it below the
+    assignment UDF — the pre-count GEMM touches sampled rows only
+    (plan-asserted in tests/test_semdedup.py)."""
+    sampled = assigned.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit("sdsalt")), F.lit(denom)) == 0
+    )
+    return sampled.groupBy("cluster_id").agg(F.count("*").alias("_hn"))
+
+
 def semdedup_drops(
     vectors: DataFrame,
     centroids: np.ndarray,
@@ -147,6 +176,8 @@ def semdedup_drops(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int = 65_536,
+    on_oversized: str = "raise",
+    salt_sample_denom: int = 16,
 ) -> DataFrame:
     """(id, dup_of, cluster_id, cos_sim) — rows SemDeDup would remove.
 
@@ -154,7 +185,35 @@ def semdedup_drops(
     shuffle) → ONE groupBy(cluster_id) shuffle → per-cluster greedy
     kernel. cos_sim is rounded to 6dp Spark-side (F.round HALF_UP; the
     golden twin replicates via Decimal — CLAUDE.md rounding rule).
+
+    on_oversized: what to do with clusters above `max_cluster` —
+    the straggler/OOM hazard "raise K" cannot fix on modal data (see
+    module docstring; measured: the largest cluster of 1.03M sf1
+    embeddings stays 46k rows from K=256 to K=1024).
+
+    * "raise" (default, the golden-pinned path): fail-stop with the
+      K-scaling instruction.
+    * "salt": split each oversized cluster into
+      n_sub = ceil(n̂·1.25/max_cluster) buckets by
+      pmod(xxhash64(id), n_sub) and dedup per (cluster, salt) — the
+      salted-vote pattern. n̂ comes from a deterministic hash-sampled
+      pre-count (1/salt_sample_denom of rows; the filter references
+      only id_col, so Catalyst pushes it below the assignment UDF and
+      the pre-count GEMM runs on sampled rows only — plan-asserted in
+      tests/test_semdedup.py). An id-hash salt is uniform, so it
+      bounds BOTH the sub-group's memory and its quadratic compute —
+      a direction-based (SRP) split would put a blob of near-identical
+      vectors in ONE bucket and split nothing. Disclosed semantics:
+      each salt bucket is deduped exactly; a dup-group straddling
+      buckets keeps up to n_sub representatives instead of 1, and
+      only in clusters where the unsalted kernel would have raised.
+      The pre-count's driver pull is bounded by construction at
+      min(K, 2n/max_cluster) rows — the key space is the K centroid
+      ids, and only clusters estimated ≥ max_cluster/2 pass the
+      cutoff.
     """
+    if on_oversized not in ("raise", "salt"):
+        raise ValueError(f"on_oversized must be 'raise' or 'salt', got {on_oversized!r}")
     id_field = next(f for f in vectors.schema.fields if f.name == id_col)
     cc = np.ascontiguousarray(centroids, dtype=np.float64)
     out_schema = T.StructType(
@@ -172,8 +231,10 @@ def semdedup_drops(
             raise ValueError(
                 f"semdedup cluster {cid} has {len(pdf)} rows > max_cluster="
                 f"{max_cluster}: raise n_centroids so clusters stay bounded "
-                "(SemDeDup scales K with the corpus), or raise max_cluster "
-                "explicitly if the quadratic per-cluster cost is acceptable"
+                "(SemDeDup scales K with the corpus), use "
+                "on_oversized='salt' for modal data where raising K cannot "
+                "bound the densest cluster, or raise max_cluster explicitly "
+                "if the quadratic per-cluster cost is acceptable"
             )
         ids = pdf[id_col].to_numpy()
         mat = _to_mat(pdf[vec_col])
@@ -191,7 +252,57 @@ def semdedup_drops(
     assigned = vectors.select(
         F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster_id")
     )
-    drops = assigned.groupBy("cluster_id").applyInPandas(_one_cluster, out_schema)
+    if on_oversized == "salt":
+        denom = max(1, int(salt_sample_denom))
+        # exact count over the deterministic sample; key cardinality is
+        # bounded by K, map-side partials make this shuffle tiny. The
+        # recall-bias slack (1.25 on top of the unbiased n̂ = cnt·denom)
+        # covers sampling noise: at n = max_cluster = 65k and denom 16,
+        # the relative sd of n̂ is ~2%.
+        cutoff = max(1, max_cluster // denom // 2)
+        hot = (
+            _sampled_cluster_counts(assigned, id_col, denom)
+            .filter(F.col("_hn") >= cutoff)
+            .collect()
+        )
+        n_sub = {
+            int(r["cluster_id"]): int(-(-(r["_hn"] * denom * 5) // (4 * max_cluster)))
+            for r in hot
+            if r["_hn"] * denom * 5 > 4 * max_cluster
+        }
+        if not n_sub:
+            # common case: nothing oversized — identical single-window
+            # plan, the pre-count was the only extra work
+            drops = assigned.groupBy("cluster_id").applyInPandas(
+                _one_cluster, out_schema
+            )
+        else:
+            spark = vectors.sparkSession
+            sub_df = F.broadcast(
+                spark.createDataFrame(
+                    [(k, v) for k, v in sorted(n_sub.items())],
+                    "cluster_id long, _nsub int",
+                )
+            )
+            salted = (
+                assigned.join(sub_df, "cluster_id", "left")
+                .withColumn(
+                    "_salt",
+                    F.when(
+                        F.col("_nsub").isNotNull(),
+                        F.pmod(
+                            F.xxhash64(F.col(id_col), F.lit("sdsub")),
+                            F.col("_nsub"),
+                        ).cast("int"),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("_nsub")
+            )
+            drops = salted.groupBy("cluster_id", "_salt").applyInPandas(
+                _one_cluster, out_schema
+            )
+    else:
+        drops = assigned.groupBy("cluster_id").applyInPandas(_one_cluster, out_schema)
     return drops.select(
         id_col, "dup_of", "cluster_id", F.round("cos_sim", 6).alias("cos_sim")
     )

@@ -36,6 +36,7 @@ from scaling_bench import hardware_ceiling  # noqa: E402
 
 DIM = 256
 K = 256
+MAX_CLUSTER = 65_536
 EPS = 0.9
 
 CHILD = """
@@ -48,18 +49,23 @@ from langid_py_spark.operators import semdedup
 spark = get_spark(cores={cores}, shuffle_partitions={k}, app_name="scaling_semdedup",
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "2m",
                                "spark.local.dir": "/dev/shm/spark-local"}})
-# shuffle at K partitions (one cluster per task), NOT at `cores`:
-# packing ~K/cores skewed clusters per task makes one unlucky task the
-# critical path — measured 0.48 eff at 2->8 with cores-partitions vs
-# cluster-granular scheduling below. Production runs thousands of
-# shuffle partitions; cluster-per-task is the operator's real shape.
+# shuffle at >=K partitions (cluster- or salt-bucket-granular
+# tasks, the production shape — thousands of shuffle partitions).
+# Measured negatives kept in BENCH/BASELINE.md: shuffle=cores packs
+# skewed clusters per task (0.48 eff at 2->8); and even with
+# cluster-per-task scheduling the unsalted greedy is Amdahl-bound by
+# the biggest k-means cluster (46k rows = 18-30% of all quadratic
+# work at K=256 AND K=1024 — raising K splits the tail, not the
+# mode): 0.417 eff. on_oversized="salt" bounds the straggler.
 emb = spark.read.parquet({src!r})
 cents = np.load({cents!r})
 n = emb.count()
 samples = []
 for i in range(4):  # first run = warmup, discarded
     t0 = time.time()
-    drops = semdedup.semdedup_drops(emb, cents, eps={eps}, id_col="doc_id")
+    drops = semdedup.semdedup_drops(emb, cents, eps={eps}, id_col="doc_id",
+                                   max_cluster={max_cluster},
+                                   on_oversized={on_oversized!r})
     drops.write.format("noop").mode("overwrite").save()
     samples.append(time.time() - t0)
 med = statistics.median(samples[1:])
@@ -69,7 +75,9 @@ print("RESULT " + json.dumps({{"cores": {cores}, "sec": med, "docs": n}}))
 
 def run_at(cores: int, src: str, cents_path: str) -> dict:
     code = CHILD.format(
-        repo=str(REPO), cores=cores, src=src, cents=cents_path, eps=EPS, k=K
+        repo=str(REPO), cores=cores, src=src, cents=cents_path, eps=EPS,
+        k=max(K, 4 * cores), max_cluster=MAX_CLUSTER,
+        on_oversized="salt" if MAX_CLUSTER < 65_536 else "raise",
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -83,8 +91,14 @@ def run_at(cores: int, src: str, cents_path: str) -> dict:
 
 
 def main() -> None:
+    global K
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    global MAX_CLUSTER
+    if len(sys.argv) > 3:  # K must scale with the corpus (Abbas 2023);
+        K = int(sys.argv[3])  # K=256 at 1M docs is the measured negative
+    if len(sys.argv) > 4:  # < 65_536 switches on_oversized="salt" —
+        MAX_CLUSTER = int(sys.argv[4])  # the modal-cluster straggler fix
 
     from pyspark.sql import functions as F
 
@@ -120,7 +134,8 @@ def main() -> None:
     tp4n = r4n["docs"] / r4n["sec"]
     eff = (tp4n / tpn) / 4
     result = {
-        "op": f"semdedup_drops K={K} dim={DIM} eps={EPS}",
+        "op": f"semdedup_drops K={K} dim={DIM} eps={EPS}"
+        + (f" salt mc={MAX_CLUSTER}" if MAX_CLUSTER < 65_536 else ""),
         "sf": sf,
         "docs": rn["docs"],
         "n_cores": n,
@@ -137,7 +152,9 @@ def main() -> None:
     bench_md = REPO / "BENCH" / "BASELINE.md"
     with bench_md.open("a") as f:
         f.write(
-            f"| sf{sf} semdedup K{K} dim{DIM} | {result['docs']} | {n} | "
+            f"| sf{sf} semdedup K{K} dim{DIM}"
+            + (f" salt mc{MAX_CLUSTER}" if MAX_CLUSTER < 65_536 else "")
+            + f" | {result['docs']} | {n} | "
             f"{result['localN_sec']} | {result['local4N_sec']} | "
             f"{result['localN_docs_per_sec']} | {result['local4N_docs_per_sec']} | "
             f"{result['scaling_efficiency_n_to_4n']} | "

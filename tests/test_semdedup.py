@@ -200,3 +200,120 @@ def test_string_ids_supported(spark):
     assert len(got) >= 3  # the planted groups collapse
     assert got.vec_id.str.startswith("doc-").all()
     assert got.dup_of.str.startswith("doc-").all()
+
+
+# --- on_oversized="salt" (r06: modal clusters that "raise K" cannot bound) ---
+
+
+def test_salt_mode_identical_when_nothing_oversized(spark, vec_df):
+    """n_sub empty → the salt branch short-circuits to the plain
+    single-window plan; results must equal raise-mode exactly."""
+    df, ids, mat = vec_df
+    cents = spherical_kmeans(np.asarray(mat, dtype=np.float64), 4, seed=99)
+    a = set(map(tuple, S.semdedup_drops(df, cents, eps=0.98).collect()))
+    b = set(
+        map(
+            tuple,
+            S.semdedup_drops(
+                df, cents, eps=0.98, on_oversized="salt", salt_sample_denom=1
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def _dense_blob_df(spark, n_blob: int = 60, n_noise: int = 10, dim: int = 8):
+    """One near-identical blob (the modal cluster k-means cannot split)
+    plus orthogonal-ish noise that lands in the other centroid."""
+    rng = np.random.RandomState(17)
+    base = rng.randn(dim)
+    blob = base + 1e-5 * rng.randn(n_blob, dim)
+    noise = rng.randn(n_noise, dim) * np.array([1, -1] * (dim // 2))
+    mat = np.vstack([blob, noise])
+    ids = np.arange(len(mat), dtype=np.int64)
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": [r.astype(np.float32) for r in mat]}
+    )
+    return spark.createDataFrame(pdf), ids, mat, n_blob
+
+
+def test_salt_mode_completes_oversized_bounded_overkeep(spark):
+    df, ids, mat, n_blob = _dense_blob_df(spark)
+    cents = spherical_kmeans(np.asarray(mat, dtype=np.float64), 2, seed=5)
+    # raise mode refuses the 60-row blob at max_cluster=16
+    with pytest.raises(Exception, match="max_cluster"):
+        S.semdedup_drops(df, cents, eps=0.99, max_cluster=16).collect()
+    drops = S.semdedup_drops(
+        df,
+        cents,
+        eps=0.99,
+        max_cluster=16,
+        on_oversized="salt",
+        salt_sample_denom=1,
+    )
+    got = drops.toPandas()
+    # n_sub = ceil(60 * 1.25 / 16) = 5; over-keep bound: the blob keeps
+    # at most one representative PER NON-EMPTY SALT BUCKET instead of 1
+    n_sub = -(-(n_blob * 5) // (4 * 16))
+    assert n_sub == 5
+    n_salts = (
+        df.filter(F.col("vec_id") < n_blob)
+        .select(
+            F.pmod(F.xxhash64("vec_id", F.lit("sdsub")), F.lit(n_sub)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    blob_drops = got[got.vec_id < n_blob]
+    assert len(blob_drops) == n_blob - n_salts  # exactly one keeper per bucket
+    assert n_salts <= n_sub
+    # every sub-bucket's per-task size stayed under max_cluster by
+    # construction AND every keeper survives (partition property)
+    keep = S.semdedup_keep(df, drops)
+    kept_ids = {r.vec_id for r in keep.select("vec_id").collect()}
+    assert kept_ids | set(got.vec_id) == set(ids.tolist())
+    assert not (kept_ids & set(got.vec_id))
+    assert set(got.dup_of) <= kept_ids
+
+
+def test_salt_mode_partitioning_invariant(spark):
+    df, ids, mat, _ = _dense_blob_df(spark)
+    cents = spherical_kmeans(np.asarray(mat, dtype=np.float64), 2, seed=5)
+    kw = dict(eps=0.99, max_cluster=16, on_oversized="salt", salt_sample_denom=1)
+    a = set(map(tuple, S.semdedup_drops(df.repartition(1), cents, **kw).collect()))
+    b = set(map(tuple, S.semdedup_drops(df.repartition(7), cents, **kw).collect()))
+    assert a == b
+
+
+def test_salt_precount_filter_pushed_below_assignment_udf(spark, vec_df, tmp_path):
+    """The sampled pre-count must not pay the assignment GEMM on
+    unsampled rows: in the physical plan the id-hash Filter sits BELOW
+    the ArrowEvalPython node (parents print first in toString). Needs a
+    file scan — over a LocalRelation the optimizer folds the filter
+    into the relation itself (ConvertToLocalRelation)."""
+    df, ids, mat = vec_df
+    src = str(tmp_path / "vecs")
+    df.write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    cents = spherical_kmeans(np.asarray(mat, dtype=np.float64), 4, seed=99)
+    from langid_py_spark.operators.similarity import ivf_assign_udf
+
+    assign = ivf_assign_udf(np.ascontiguousarray(cents, dtype=np.float64))
+    assigned = df.select(
+        F.col("vec_id"), F.col("embedding"), assign("embedding").alias("cluster_id")
+    )
+    plan = (
+        S._sampled_cluster_counts(assigned, "vec_id", 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "Filter" in plan
+    assert plan.index("ArrowEvalPython") < plan.index("Filter")
+
+
+def test_salt_mode_rejects_bad_flag(spark, vec_df):
+    df, ids, mat = vec_df
+    cents = spherical_kmeans(np.asarray(mat, dtype=np.float64), 2, seed=5)
+    with pytest.raises(ValueError, match="on_oversized"):
+        S.semdedup_drops(df, cents, on_oversized="split")
