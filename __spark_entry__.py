@@ -916,6 +916,40 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (80/10/10): the split unit is
+    the near-dup CLUSTER (same three-source pair union + CC resolution
+    as dedup_clusters), so no near-duplicate pair straddles train and
+    eval — the within-corpus complement of benchmark decontamination.
+    Singletons hash their own id. Pure Catalyst after ONE id equi-join:
+    md5 hex-prefix thresholds, exact string compares (the hash_sample
+    idiom). Golden twin: union-find + the same threshold map
+    (make_golden.g_cluster_safe_split). Upstream n/a (training-data
+    extra per the driver mandate)."""
+    from langid_py_spark.operators.cluster import dedup_clusters
+    from langid_py_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .unionByName(
+            dedup.simhash_candidates(docs, max_hamming=3).select("id_a", "id_b")
+        )
+        .unionByName(
+            dedup.winnow_pairs(docs, min_shared=2, k=20, window=12).select(
+                "id_a", "id_b"
+            )
+        )
+    )
+    return leakage_safe_split(
+        docs.select("doc_id"),
+        dedup_clusters(pairs),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id",
+    ).select("doc_id", "split")
+
+
 def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actionable end of the near-dup story: survivors after
     dropping every non-representative member of every near-dup cluster
@@ -1234,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_drops": q_semdedup_drops,
         "semdedup_keep": q_semdedup_keep,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_safe_split": q_cluster_safe_split,
         "near_dedup_keep": q_near_dedup_keep,
         "ivf_ann_topk": q_ivf_ann_topk,
         "contamination_scan": q_contamination_scan,
@@ -1477,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE drop_list.doc_id IS NULL
         """,
         "dedup_clusters": _golden_sql("dedup_clusters"),
+        "cluster_safe_split": _golden_sql("cluster_safe_split"),
         "near_dedup_keep": f"""
             SELECT d.doc_id FROM documents d
             LEFT JOIN (

@@ -382,3 +382,98 @@ def token_budget_sample_oracle_sql(
     FROM offs
     WHERE cum_tokens <= CASE {source_col} {case} END
     """
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame | None,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "split42",
+) -> DataFrame:
+    """Train/val/test split that near-duplicates cannot straddle — the
+    step between dedup-cluster resolution and a trainer that must not
+    see its own eval set (the within-corpus complement of benchmark
+    decontamination: a val doc whose near-dup sits in train leaks).
+
+    The split unit is the CLUSTER, not the doc: every row hashes
+    coalesce(cluster_id, own id) — so all members of a near-dup
+    cluster (operators/cluster.dedup_clusters: cluster_id = component
+    min id; a doc in any pair is never absent from its cluster table)
+    land on the same side, and singletons (null after the left join)
+    fall back to their own id. A singleton's id can never equal some
+    cluster's min-id key (the min is a member, members aren't
+    singletons), so the key space stays collision-consistent.
+
+    Assignment is the repo's deterministic md5 hex-prefix idiom
+    (hash_sample): cumulative weight thresholds on the first 6 hex
+    chars of md5(key || salt) — exact string compares, no float at row
+    scope, engine-reproducible. The LAST split name is the CASE ELSE,
+    absorbing both hex-grid dust and the tail of the hash space.
+
+    Disclosed semantics: weights apportion CLUSTER KEYS uniformly; the
+    doc-level split mass deviates by cluster-size variance (a 10k-doc
+    cluster moves 10k docs together — that is the leakage-safety, not
+    a bug). Scale: ONE equi-join on the fixed-width id (AQE/broadcast
+    eligible) + a codegen'd projection; no window, no UDF, no driver
+    pull. clusters=None skips the join (pure doc-hash split, weights
+    then apply to docs exactly).
+    """
+    if not weights or len(weights) < 2:
+        raise ValueError("weights needs >= 2 named splits")
+    vals = list(weights.values())
+    if any(v <= 0 for v in vals):
+        raise ValueError(f"split weights must be positive, got {weights}")
+    if abs(sum(vals) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(vals)}")
+    if clusters is not None:
+        key = F.coalesce(
+            F.col("_lss_cid").cast("string"), F.col(id_col).cast("string")
+        )
+        joined = docs.join(
+            clusters.select(
+                F.col(id_col), F.col(cluster_col).alias("_lss_cid")
+            ),
+            on=id_col,
+            how="left",
+        )
+    else:
+        key = F.col(id_col).cast("string")
+        joined = docs
+    prefix = F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 6)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        th = format(int(cum * (1 << 24)), "06x")
+        branch = F.when(prefix < F.lit(th), F.lit(name))
+        expr = branch if expr is None else expr.when(prefix < F.lit(th), F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1]))
+    out = joined.withColumn("split", expr)
+    return out.drop("_lss_cid") if clusters is not None else out
+
+
+def leakage_safe_split_oracle_sql(
+    table: str,
+    weights: dict[str, float],
+    cols: list[str],
+    id_col: str = "doc_id",
+    salt: str = "split42",
+) -> str:
+    """DuckDB twin of the clusters=None path (the clustered path's
+    oracle is the golden union-find twin in scripts/make_golden.py)."""
+    names = list(weights)
+    cum = 0.0
+    whens = []
+    for name in names[:-1]:
+        cum += weights[name]
+        th = format(int(cum * (1 << 24)), "06x")
+        whens.append(
+            f"WHEN substring(md5(CAST({id_col} AS VARCHAR) || '{salt}'), 1, 6)"
+            f" < '{th}' THEN '{name}'"
+        )
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    collist = ", ".join(cols)
+    return f"SELECT {collist}, {case} AS split FROM {table}"

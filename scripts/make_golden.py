@@ -502,6 +502,37 @@ def g_ivf_ann_topk(
     )
 
 
+def g_cluster_safe_split(
+    docs: pd.DataFrame,
+    clusters: pd.DataFrame,
+    weights: dict[str, float],
+    salt: str = "split42",
+) -> pd.DataFrame:
+    """Twin of sampling.leakage_safe_split over the union-find golden:
+    key = str(cluster_id or own doc_id), split = cumulative md5
+    hex-prefix thresholds — the exact string-compare map the Spark CASE
+    chain evaluates (no float at row scope on either side)."""
+    import hashlib
+
+    cmap = dict(
+        zip(clusters["doc_id"].astype(int), clusters["cluster_id"].astype(int))
+    )
+    names = list(weights)
+    cum, ths = 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        ths.append((format(int(cum * (1 << 24)), "06x"), name))
+    rows = []
+    for did in docs["doc_id"].astype(int):
+        key = str(cmap.get(did, did))
+        prefix = hashlib.md5((key + salt).encode()).hexdigest()[:6]
+        split = next((n for th, n in ths if prefix < th), names[-1])
+        rows.append((did, split))
+    return pd.DataFrame(rows, columns=["doc_id", "split"]).astype(
+        {"doc_id": np.int64}
+    )
+
+
 def g_dedup_clusters(pair_frames: list[pd.DataFrame]) -> pd.DataFrame:
     """Twin of operators/cluster.dedup_clusters over the UNION of the
     near-dup pair tables: plain union-find (path-halving) with the min
@@ -712,7 +743,10 @@ def main() -> None:
         "minhash_pairs": mh,
         "simhash_candidates": sh,
         "winnow_pairs": wp,
-        "dedup_clusters": g_dedup_clusters([mh, sh, wp]),
+        "dedup_clusters": (dc := g_dedup_clusters([mh, sh, wp])),
+        "cluster_safe_split": g_cluster_safe_split(
+            docs, dc, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ),
         "srp_ann_topk": g_srp_ann_topk(emb),
         "srp_dup_pairs": g_srp_dup_pairs(emb),
         "text_dup_pairs": g_text_dup_pairs(docs),

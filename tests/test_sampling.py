@@ -267,3 +267,96 @@ def test_token_budget_sample_zero_token_docs_are_free(spark):
     got = token_budget_sample(df, {"s": 0}).toPandas()
     assert sorted(got["doc_id"]) == [1, 2, 4]
     assert (got["n_tokens"] == 0).all() and (got["cum_tokens"] == 0).all()
+
+
+# --- leakage_safe_split (r06: cluster-aware train/val/test) ---
+
+
+def _split_fixture(spark):
+    from langid_py_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64)})
+    )
+    # clusters: docs 0-9 in cluster 0, 50-52 in cluster 50; rest singleton
+    cl = pd.DataFrame(
+        {
+            "doc_id": list(range(10)) + [50, 51, 52],
+            "cluster_id": [0] * 10 + [50] * 3,
+        }
+    ).astype(np.int64)
+    clusters = spark.createDataFrame(cl)
+    return leakage_safe_split, docs, clusters
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark):
+    lss, docs, clusters = _split_fixture(spark)
+    got = lss(
+        docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).toPandas()
+    assert len(got) == 200 and set(got.columns) == {"doc_id", "split"}
+    by = got.set_index("doc_id")["split"]
+    assert by.loc[list(range(10))].nunique() == 1  # cluster 0 together
+    assert by.loc[[50, 51, 52]].nunique() == 1  # cluster 50 together
+    assert set(got["split"]) <= {"train", "val", "test"}
+    # weights roughly hold on the ~190 split units
+    frac_train = (got["split"] == "train").mean()
+    assert 0.6 < frac_train < 0.95
+
+
+def test_leakage_safe_split_matches_pure_hash_for_singletons(spark):
+    """A doc outside every cluster must get the same side as the
+    clusters=None pure-hash split — the fallback key is its own id."""
+    lss, docs, clusters = _split_fixture(spark)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    with_cl = lss(docs, clusters, w).toPandas().set_index("doc_id")["split"]
+    no_cl = lss(docs, None, w).toPandas().set_index("doc_id")["split"]
+    singles = [i for i in range(200) if i not in set(range(10)) | {50, 51, 52}]
+    assert (with_cl.loc[singles] == no_cl.loc[singles]).all()
+
+
+def test_leakage_safe_split_oracle_parity_duckdb(spark):
+    """clusters=None path vs the DuckDB SQL twin — pins the md5/string
+    cast dialect on both engines."""
+    import duckdb
+
+    from langid_py_spark.operators.sampling import (
+        leakage_safe_split,
+        leakage_safe_split_oracle_sql,
+    )
+
+    pdf = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64)})
+    w = {"train": 0.7, "val": 0.2, "test": 0.1}
+    got = (
+        leakage_safe_split(spark.createDataFrame(pdf), None, w)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = (
+        con.execute(leakage_safe_split_oracle_sql("t", w, ["doc_id"]))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(exp)
+
+
+def test_leakage_safe_split_partitioning_invariant_and_deterministic(spark):
+    lss, docs, clusters = _split_fixture(spark)
+    w = {"train": 0.5, "val": 0.5}
+    a = set(map(tuple, lss(docs.repartition(1), clusters, w).collect()))
+    b = set(map(tuple, lss(docs.repartition(13), clusters, w).collect()))
+    assert a == b
+
+
+def test_leakage_safe_split_validation(spark):
+    lss, docs, clusters = _split_fixture(spark)
+    with pytest.raises(ValueError, match=">= 2"):
+        lss(docs, clusters, {"train": 1.0})
+    with pytest.raises(ValueError, match="positive"):
+        lss(docs, clusters, {"train": 1.1, "val": -0.1})
+    with pytest.raises(ValueError, match="sum to 1"):
+        lss(docs, clusters, {"train": 0.5, "val": 0.4})
