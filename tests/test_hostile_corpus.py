@@ -31,7 +31,7 @@ DOC_QUERIES = [
     "ccnet_ppl_buckets", "ccnet_ppl_buckets_approx", "rank_languages",
     "byte_ngram_df_topk", "lm_ngram_topk", "hashed_tf_vectors",
     "text_dup_pairs", "semdedup_drops", "semdedup_keep",
-    "token_budget_mixture",
+    "token_budget_mixture", "cluster_safe_split",
     # embeddings family (hostile embeddings.parquet: zero vectors, 1e6
     # magnitudes — norm-guard and overflow exercise)
     "cosine_topk", "embedding_dup_pairs", "srp_ann_topk",
