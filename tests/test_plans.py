@@ -442,3 +442,34 @@ def test_token_budget_sample_plan(spark):
     assert "source" in win[0] and "_bkt" in win[0], win
     assert "BroadcastExchange" in p
     assert "SinglePartition" not in p, p
+
+
+def test_semdedup_salted_plan_one_corpus_shuffle_plus_broadcast(spark):
+    """Salt mode keeps the shuffle budget: the sampled pre-count is a
+    separate tiny job (bounded-cardinality agg), and the MAIN plan adds
+    only a BroadcastExchange for the (cluster_id, n_sub) map — the one
+    corpus-scale hash exchange is now keyed (cluster_id, _salt)."""
+    import re
+
+    import numpy as np
+
+    from langid_py_spark.operators.semdedup import semdedup_drops
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = np.eye(4, 64, dtype=np.float64)
+    drops = semdedup_drops(
+        emb,
+        cents,
+        eps=0.9,
+        id_col="vec_id",
+        max_cluster=100,
+        on_oversized="salt",
+        salt_sample_denom=1,
+    )
+    p = _plan(drops)
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]+)\)", p)
+    corpus_keys = [k for k in keys if "cluster_id" in k]
+    assert len(corpus_keys) == 1, keys
+    assert "_salt" in corpus_keys[0], corpus_keys
+    assert p.count("BroadcastExchange") == 1, p
+    assert "CartesianProduct" not in p
