@@ -136,7 +136,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ------------------------------------------------------------- queries
 def q_rules_keepdrop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the rule block is ~7 regexp passes of pure JVM work and the
+    # fixture is a single-row-group parquet file — without the rebalance
+    # the whole corpus regexes on ONE core (measured sf1: 2.91 s -> 0.87 s
+    # at local[32]); at production split counts _spread is a no-op.
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     cols = rule_columns(F.col("text"))
     out = docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
     keep = F.lit(True)
@@ -146,7 +150,10 @@ def q_rules_keepdrop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
+    # _spread: six chained regexp_replace rewrites, single-split scan —
+    # same serialization trap as q_rules_keepdrop (guide §2: the fix is
+    # parallelism, not the expression).
+    return _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", scrub_expr(F.col("text")).alias("scrubbed_text")
     )
 
@@ -168,7 +175,10 @@ def q_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_word_df_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.word_df_tally(_t(spark, sf_dir, "documents"))
+    # _spread: the tokenize/explode/distinct map side of the tally is
+    # corpus-scale JVM work that serializes on the fixture's single
+    # row group (the substring_dup_spans precedent).
+    return textstats.word_df_tally(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_topk_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,7 +440,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_quality_classifier,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the feature block is a dozen regexp_count passes fused in
+    # one codegen'd Project — single-split scan means one core does the
+    # whole corpus (measured sf1: 2.76 s -> 0.61 s at local[32]).
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return score_quality_classifier(docs)
 
 
@@ -803,6 +816,12 @@ def q_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO _spread here — re-measured r07 at sf1: the rebalance made the
+    # cheap sig UDF SLOWER (2.84 -> 4.21 s median), confirming the r04
+    # sf0.1 finding (1.27 -> 1.92 s) at 10x the rows: the band
+    # explode+groupBy downstream already spreads the work after one
+    # band-key exchange, and repartitioning the raw text first just adds
+    # a second full-text hop.
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
@@ -845,7 +864,8 @@ def q_text_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold 0.9 with the operator's production 64-plane/8-bit banding
     (recall ≈0.94 at cos 0.9 by the SRP s-curve). Golden twin:
     make_golden.g_text_dup_pairs — same kernels end to end."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: same two single-split embedding passes as q_semdedup_drops
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     emb = embedding_mod.doc_embeddings(docs, dim=256)
     return similarity.srp_dup_pairs(
         emb,
@@ -870,7 +890,12 @@ def q_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits the rows SemDeDup would REMOVE: (doc_id, dup_of, cluster_id,
     cos_sim) with the keep-the-farthest-from-centroid representative
     rule."""
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: BOTH embedding passes (dfreq presence scan + the embed
+    # map) are heavy Arrow-UDF work over the fixture's single-row-group
+    # scan — without the rebalance each runs as ONE task (the
+    # langid_score precedent); per-doc embeddings are batch-composition-
+    # independent (property-tested), so partitioning changes no value.
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     emb = embedding_mod.doc_embeddings(docs, dim=256).persist()
     cents = similarity.fit_ivf_centroids(emb, n_centroids=16, id_col="doc_id")
     return semdedup_mod.semdedup_drops(emb, cents, eps=0.9, id_col="doc_id")

@@ -85,7 +85,16 @@ def corpus_pipeline(
         .select(id_col)
         .distinct()
     )
-    d4 = d3.join(hits, id_col, "left_anti")
+    # broadcast the hit list (r07): contaminated-doc ids are few by
+    # construction (decontam drop rate), and a shuffled anti-join here
+    # re-partitions the WHOLE corpus by id — worse, AQE coalesces that
+    # small-looking shuffle to ~1 partition, serializing the rules +
+    # classifier regex tiers downstream (measured sf1: the t4-6 block
+    # went 5.0 s -> see OPTIMIZATION_r07.md). The broadcast keeps d3's
+    # cached partitioning flowing straight through t5/t6 — the
+    # "corpus never shuffles for decontamination" story now holds for
+    # the anti-join too, matching contamination_scan_join itself.
+    d4 = d3.join(F.broadcast(hits), id_col, "left_anti")
     d5 = rules_mod.with_rules(d4, "text").filter("keep_heuristic").select(
         id_col, "text"
     )
@@ -225,7 +234,8 @@ def run_corpus_pipeline(
             .select(id_col)
             .distinct()
         )
-        return d.join(hits, id_col, "left_anti")
+        # broadcast anti-join — same rationale as corpus_pipeline (r07)
+        return d.join(F.broadcast(hits), id_col, "left_anti")
 
     d4 = _tier("t4_decontam", _decontam, d3)
     d5 = _tier(

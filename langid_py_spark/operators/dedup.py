@@ -279,7 +279,9 @@ def line_dedup_drops(
     # persist: the guarded plan reads `lines` from several branches
     # (pre-count, hot, tail) — recomputing split+md5 per branch measured
     # 5x on the bench row. LRU-evicted like the packing persist; at
-    # 10^12 lines checkpoint the line table instead.
+    # 10^12 lines checkpoint the line table instead. (r07 re-measured
+    # the persist-only-when-hot alternative on the span tier: LOST —
+    # see substring_dup_spans — so this keeps the same ordering.)
     from pyspark import StorageLevel
 
     lines = lines.persist(StorageLevel.MEMORY_AND_DISK)

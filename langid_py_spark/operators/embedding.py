@@ -161,12 +161,24 @@ def py_tf_vector(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
     return v
 
 
+# (dim, token) -> bucket memo. md5-bucketing is a pure function, so the
+# cache can only return what _py_bucket would; it persists across Arrow
+# batches AND across the dfreq/embed passes in one reused Python worker
+# (the module is importable on executors — the scorer's _MODEL_CACHE
+# pattern). Bounded in practice by the corpus vocabulary; a worker
+# restart simply refills it.
+_BUCKET_CACHE: dict[tuple[int, str], int] = {}
+
+
 def _batch_tf_matrix(texts: list, dim: int) -> np.ndarray:
     """(B, dim) int64 tf matrix for one Arrow batch, vectorized the
     repetition-stats way: tokens of all docs concatenate, md5 runs ONCE
-    per UNIQUE token (np.unique + inverse), per-doc scatter is a single
-    bincount over doc_idx*dim+bucket. Batch-composition-independent:
-    each doc's row depends only on its own tokens."""
+    per UNIQUE token (pd.factorize + inverse — hash-based, measured ~10x
+    the sort-based np.unique on object arrays at sf1; identical output
+    because the unique/inverse mapping feeds the same bincount), per-doc
+    scatter is a single bincount over doc_idx*dim+bucket.
+    Batch-composition-independent: each doc's row depends only on its
+    own tokens."""
     B = len(texts)
     mat = np.zeros((B, dim), dtype=np.int64)
     if B == 0:
@@ -180,9 +192,19 @@ def _batch_tf_matrix(texts: list, dim: int) -> np.ndarray:
         [np.array(x, dtype=object) for x in toks_per_doc if x]
     )
     doc_idx = np.repeat(np.arange(B), lens)
-    uniq, inv = np.unique(all_toks, return_inverse=True)
+    inv, uniq = pd.factorize(all_toks, sort=False)
+    cache = _BUCKET_CACHE
+
+    def _bucket_of(u: str) -> int:
+        key = (dim, u)
+        b = cache.get(key, -1)
+        if b < 0:
+            b = _py_bucket(u, dim)
+            cache[key] = b
+        return b
+
     buckets_uniq = np.fromiter(
-        (_py_bucket(u, dim) for u in uniq), dtype=np.int64, count=len(uniq)
+        (_bucket_of(u) for u in uniq), dtype=np.int64, count=len(uniq)
     )
     flat = doc_idx * dim + buckets_uniq[inv]
     return np.bincount(flat, minlength=B * dim).reshape(B, dim)

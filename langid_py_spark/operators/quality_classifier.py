@@ -247,13 +247,33 @@ def classifier_importance_sample(
     The whole operator is one fused map over the scan: classifier
     features + score + threshold + compare in a single codegen stage,
     no UDF, no shuffle.
+
+    r07 plan note — the score is evaluated ONCE per row, behind a
+    single-element explode. The naive `filter(pref <= thr_hex(p))
+    .withColumn("accept_p", round(p))` puts the whole feature dot
+    product inside a Filter predicate, where (a) codegen does no
+    subexpression elimination (the shared n_words regexp evaluates once
+    per feature that uses it) and (b) the optimizer pushes the
+    predicate below any Project that aliases it, re-inlining the score
+    into both the filter AND the output column — all the way into the
+    parquet scan's DataFilters, off the vectorized path (measured sf1:
+    3.5 s median; the two-step Project→Filter spelling was WORSE,
+    7-21 s, because of that pushdown). explode(array(p)) computes p in
+    a Generate node, which predicate pushdown cannot cross, so the
+    filter and accept_p both derive from the already-computed `_qclf_p`
+    (cheap integer/hex ops only). Measured sf1: 3.53 -> 0.49 s median,
+    row-identical output. Still zero UDF, zero shuffle, one map.
     """
     bias, w = load_weights(clf_path)
+    if "_qclf_p" in df.columns:
+        raise ValueError("classifier_importance_sample: input already has _qclf_p")
     z = score_expr(F.col(text_col), bias, w)
-    p = F.least(
+    p_raw = F.least(
         F.greatest(F.lit(float(center)) + z / F.lit(float(scale)), F.lit(float(floor))),
         F.lit(1.0),
     )
+    gen = df.select("*", F.explode(F.array(p_raw)).alias("_qclf_p"))
+    p = F.col("_qclf_p")
     thr = F.least(
         F.floor(p * F.lit(16777216.0)).cast("long"), F.lit(16777215)
     )
@@ -261,7 +281,9 @@ def classifier_importance_sample(
     pref = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 6
     )
-    return df.filter(pref <= thr_hex).withColumn("accept_p", F.round(p, 6))
+    return gen.filter(pref <= thr_hex).select(
+        *df.columns, F.round(p, 6).alias("accept_p")
+    )
 
 
 def classifier_importance_sample_oracle_sql(

@@ -66,7 +66,29 @@ def rowwise_gemm(a: np.ndarray, w: np.ndarray) -> np.ndarray:
     batch boundaries cannot change a value, and the full-matrix golden
     twins agree with the batched UDFs bit-for-bit. k is small at every
     call site (queries, <=64 planes, <=centroids); measured same speed
-    as dgemm at (4096 x 64) x (64 x 64)."""
+    as dgemm at (4096 x 64) x (64 x 64).
+
+    r07 fast path: when BOTH operands give einsum contiguous inner axes
+    — a C-contiguous and every w column contiguous in memory
+    (w.strides[0] == itemsize, i.e. w is a transposed C-order matrix or
+    a single reshaped column, which is every hot call site in the
+    semdedup/assignment kernels) — the fused einsum('ij,jk->ik')
+    dispatches to the SAME contiguous sum-of-products inner loop per
+    (i, k) element as the per-column form, so the bits are identical
+    (asserted per-shape-class in tests/test_semdedup.py::
+    test_rowwise_gemm_fused_matches_percolumn, and the committed goldens
+    re-verify it end to end) while one call replaces k Python-level
+    einsum dispatches — measured 2.1x on the semdedup greedy kernel over
+    the sf1 corpus. Any other layout (e.g. the C-contiguous SRP `planes`
+    matrix, where fused einsum reorders its loops and DOES shift last-ulp
+    bits — tested) keeps the per-column path."""
+    if (
+        a.ndim == 2
+        and w.ndim == 2
+        and a.flags["C_CONTIGUOUS"]
+        and w.strides[0] == w.itemsize
+    ):
+        return np.einsum("ij,jk->ik", a, w)
     out = np.empty((a.shape[0], w.shape[1]))
     for k in range(w.shape[1]):
         out[:, k] = np.einsum("ij,j->i", a, np.ascontiguousarray(w[:, k]))

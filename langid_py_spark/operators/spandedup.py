@@ -166,7 +166,10 @@ def substring_dup_spans(
     # from several branches; with no hot key (the common case) we pay
     # only the sampled pre-count + one cache pass, then run the plain
     # single-window plan. LRU-evicted; at 10^12 positions checkpoint
-    # the position table instead.
+    # the position table instead. (r07 re-measured the precount-first/
+    # persist-only-when-hot alternative: LOST, 3.95 vs 5.79 s median at
+    # sf1 interleaved — recomputing the explode inside the window job
+    # costs more than the cache round trip, so persist-first stays.)
     from pyspark import StorageLevel
 
     from langid_py_spark.operators.dedup import collect_hot_keys

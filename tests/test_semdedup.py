@@ -317,3 +317,41 @@ def test_salt_mode_rejects_bad_flag(spark, vec_df):
     cents = spherical_kmeans(np.asarray(mat, dtype=np.float64), 2, seed=5)
     with pytest.raises(ValueError, match="on_oversized"):
         S.semdedup_drops(df, cents, on_oversized="split")
+
+
+def test_rowwise_gemm_fused_matches_percolumn():
+    """r07: rowwise_gemm's fused-einsum fast path (C-contiguous `a`,
+    column-contiguous `w`) must be BIT-identical to the per-column
+    einsum it replaces — per-element the two dispatch to the same
+    contiguous sum-of-products inner loop. Covers every hot call-site
+    shape class: transposed C-order w (nm[blk].T / cc.T), reshaped
+    single column (centroid.reshape(-1, 1)), degenerate n/k=1, and the
+    C-contiguous multi-column w (the SRP planes layout) that must STAY
+    on the per-column path because fused einsum reorders its loops
+    there."""
+
+    def percolumn(a, w):
+        out = np.empty((a.shape[0], w.shape[1]))
+        for k in range(w.shape[1]):
+            out[:, k] = np.einsum("ij,j->i", a, np.ascontiguousarray(w[:, k]))
+        return out
+
+    rng = np.random.RandomState(42)
+    for trial in range(60):
+        n = int(rng.randint(1, 800))
+        d = int(rng.choice([3, 16, 64, 256]))
+        k = int(rng.randint(1, 300))
+        a = rng.randn(n, d)
+        cases = [
+            rng.randn(k, d).T,            # transposed view (F-contig cols)
+            np.ascontiguousarray(rng.randn(d)).reshape(-1, 1),  # one column
+            np.ascontiguousarray(rng.randn(d, k)),  # C-contig (slow path)
+        ]
+        for w in cases:
+            assert np.array_equal(rowwise_gemm(a, w), percolumn(a, w)), (
+                n, d, w.shape, w.strides,
+            )
+    # non-contiguous a must also stay exact (slow path)
+    a = rng.randn(100, 64)[::2]
+    w = rng.randn(7, 64).T
+    assert np.array_equal(rowwise_gemm(a, w), percolumn(a, w))
