@@ -200,8 +200,19 @@ def read_url_docs(
 
     if fetcher is None:
 
-        def fetcher(url: str, attempt: int):  # pragma: no cover - net
-            import urllib.request
+        def fetcher(url: str, attempt: int):
+            # Scheme allowlist (ADVICE r06): a crawl frontier is
+            # untrusted input — without this, a file:// or ftp:// row
+            # makes urlopen read local executor files into the corpus
+            # (SSRF / local-file disclosure). Rejecting here routes the
+            # row through the standard quarantine path; PLUGGABLE
+            # fetchers stay unrestricted (callers own their policy).
+            from urllib.parse import urlparse
+
+            scheme = urlparse(url).scheme.lower()
+            if scheme not in ("http", "https"):
+                raise ValueError(f"disallowed URL scheme {scheme!r}")
+            import urllib.request  # pragma: no cover - net
 
             with urllib.request.urlopen(url, timeout=timeout_s) as r:
                 return int(getattr(r, "status", 200) or 200), r.read()

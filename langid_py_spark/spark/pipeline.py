@@ -166,6 +166,15 @@ def run_pipeline(
       (compression, or iceberg table properties).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Sink compression default (r07): snappy for the parquet hot path.
+    # The session default stays zstd (best size at similar READ speed —
+    # guide choice for tables read many times), but the flagship write
+    # is producer-CPU-bound and snappy cut the cold sf1 end-to-end run
+    # ~2 s for +40% file size. Overridable per call: pass
+    # sink_options={"compression": "zstd"} to favor storage instead —
+    # the right call when the output is long-lived and read often.
+    if sink_format == "parquet":
+        sink_options = {"compression": "snappy", **(sink_options or {})}
     manifest = read_manifest(out_path) if resume else {"completed_buckets": [], "metrics": {}}
     if resume and manifest.get("input") not in (None, in_path):
         raise ValueError(
@@ -181,8 +190,16 @@ def run_pipeline(
     from pyspark import StorageLevel
 
     turns = spark.read.parquet(in_path)
-    scored = score_turns(turns, model_path=model_path, langs=langs).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # drop the raw text BEFORE the persist (r07): every downstream
+    # consumer (vote, backjoin, write) reads OUTPUT_COLUMNS, which carry
+    # scrubbed_text but never the original text — caching it doubled the
+    # string payload held in memory/disk for nothing (measured sf1:
+    # ~1 s off the cold pipeline run; at 10^12 turns it halves the
+    # scored-checkpoint footprint).
+    scored = (
+        score_turns(turns, model_path=model_path, langs=langs)
+        .drop("text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
         return _run_pipeline_writes(

@@ -281,3 +281,25 @@ def test_read_url_docs_feeds_the_scorer(spark):
     df = read_url_docs(spark, ["http://x/en"], fetcher=page_fetcher, backoff_s=0)
     out = df.select("url", classify_udf()("text").alias("r")).collect()[0]
     assert out["r"]["lang"] == "en"
+
+
+def test_read_url_docs_default_fetcher_rejects_non_http_schemes(spark, tmp_path):
+    """ADVICE r06: the DEFAULT fetcher must never read non-http(s)
+    URLs — a file:// row in an untrusted crawl frontier would
+    otherwise pull local executor files into the corpus. The row
+    quarantines (ValueError in `error`, no payload) without touching
+    the file; pluggable fetchers remain unrestricted."""
+    from langid_py_spark.sources.files import read_url_docs
+
+    secret = tmp_path / "secret.txt"
+    secret.write_text("s3kr3t-bytes")
+    got = read_url_docs(
+        spark,
+        [f"file://{secret}", "ftp://host/x"],
+        max_attempts=1,
+        backoff_s=0,
+    ).toPandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == 2
+    for _, row in got.iterrows():
+        assert row["payload"] is None and row["text"] is None
+        assert "disallowed URL scheme" in row["error"]
