@@ -159,19 +159,23 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+    # _spread on the regex/UDF-heavy document queries (r07): the fixture
+    # is a single-row-group parquet file, so without the rebalance the
+    # whole corpus's per-row work runs on ONE core (measured pattern —
+    # see q_rules_keepdrop); no-op at production split counts.
+    return textstats.token_stats(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.doc_fingerprint(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "fp_md5", "fp_norm_md5"
-    )
+    return textstats.doc_fingerprint(
+        _spread(spark, _t(spark, sf_dir, "documents"))
+    ).select("doc_id", "fp_md5", "fp_norm_md5")
 
 
 def q_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap Catalyst-only language guess (charset fractions + stopword
     hits) — the pre-filter tier that runs BEFORE the NB model at scale."""
-    return textstats.lang_heuristic(_t(spark, sf_dir, "documents"))
+    return textstats.lang_heuristic(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_word_df_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,13 +187,13 @@ def q_word_df_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.topk_words_per_group(
-        _t(spark, sf_dir, "documents"), group_col="lang", k=5
+        _spread(spark, _t(spark, sf_dir, "documents")), group_col="lang", k=5
     )
 
 
 def q_topk_words_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.topk_words_per_group(
-        _t(spark, sf_dir, "documents"), group_col="source", k=3
+        _spread(spark, _t(spark, sf_dir, "documents")), group_col="source", k=3
     )
 
 
@@ -353,7 +357,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite 0-1 quality score per document: weighted rule signals +
     clamped length ratio (quality-scoring operator, SQL-checkable)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     cols = rule_columns(F.col("text"))
     t = F.coalesce(F.col("text"), F.lit(""))
     n_chars = F.length(t)
@@ -376,7 +380,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle uses the independent explode+aggregate formulation)."""
     from langid_py_spark.operators.repetition import repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, "documents"))
+    return repetition_stats(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,7 +738,7 @@ def q_union_distinct_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op (W2 shape): union of per-language top-20 word sets →
     distinct words with the number of languages that ranked them."""
     topk = textstats.topk_words_per_group(
-        _t(spark, sf_dir, "documents"), group_col="lang", k=20
+        _spread(spark, _t(spark, sf_dir, "documents")), group_col="lang", k=20
     )
     return topk.select("word", "lang").distinct().groupBy("word").agg(
         F.count("*").alias("n_langs")
@@ -793,7 +797,9 @@ def q_hashed_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine ln()/sqrt ulp stays out of the oracle compare)."""
     from langid_py_spark.operators import embedding
 
-    return embedding.hashed_tf_vectors(_t(spark, sf_dir, "documents"))
+    return embedding.hashed_tf_vectors(
+        _spread(spark, _t(spark, sf_dir, "documents"))
+    )
 
 
 def q_lm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,7 +810,9 @@ def q_lm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no golden needed."""
     from langid_py_spark.operators import lm_train
 
-    return lm_train.lm_ngram_topk(_t(spark, sf_dir, "documents"), k=50)
+    return lm_train.lm_ngram_topk(
+        _spread(spark, _t(spark, sf_dir, "documents")), k=50
+    )
 
 
 def q_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

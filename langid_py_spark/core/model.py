@@ -104,17 +104,21 @@ def dfa_feature_counts(
         states[:k] = st
         seq[:k, t] = st
 
-    # (doc, state) visit counts in one bincount (doc ids in ORIGINAL
-    # numbering so fv rows line up with the input order)
+    # (doc, state) visit counts (doc ids in ORIGINAL numbering so fv
+    # rows line up with the input order). np.unique(return_counts) over
+    # the ~total-bytes pair array replaces bincount+flatnonzero over
+    # the B*nstates dense range (r07: the dense array is ~10x the pair
+    # count at B=4096; measured ~20% off the warm kernel). Identical
+    # bits: unique's ascending output IS flatnonzero's order, and the
+    # counts are the same exact integers.
     valid = np.arange(maxlen)[None, :] < lens_s[:, None]
     d_idx = np.broadcast_to(order[:, None], (B, maxlen))[valid]
     s_idx = seq[valid].astype(np.int64)
     pair = d_idx * nstates + s_idx
-    cnt = np.bincount(pair, minlength=B * nstates)
-    nz = np.flatnonzero(cnt)
+    nz, cnt_nz = np.unique(pair, return_counts=True)
     if nz.size == 0:
         return np.zeros((B, nfeats), dtype=np.float64)
-    c = cnt[nz].astype(np.float64)
+    c = cnt_nz.astype(np.float64)
     dd = nz // nstates
     ss = nz % nstates
 
