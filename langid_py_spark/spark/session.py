@@ -36,6 +36,33 @@ def _ensure_worker_pythonpath() -> None:
         os.environ.setdefault(var, "1")
 
 
+def _default_local_dir() -> str | None:
+    """Directory for Spark's shuffle/spill files (spark.local.dir).
+
+    Spark defaults to /tmp, which on this VM is the slow rootfs disk —
+    a measured anti-scaling trap (CLAUDE.md; guide §2.1: local disk
+    bandwidth can be the tighter shuffle limit). Back-to-back sf1 A/B
+    (r07): corpus_pipeline 16.0 -> 14.8 s, substring_dup_spans 4.2 ->
+    3.5 s with shuffle files on the 126 GB tmpfs. Precedence:
+
+    * SPARK_GRAFT_LOCAL_DIR env — the production knob: point it at the
+      fast local-disk array (tmpfs is only right when RAM dwarfs the
+      shuffle volume, which holds in this sandbox but NOT on a 100 TB
+      cluster, where spills must land on real disks);
+    * /dev/shm when present/writable (this sandbox's fast path);
+    * None — keep Spark's default.
+    Spark cleans its local dir on shutdown; a killed JVM can leave
+    files behind, which on tmpfs means RAM until deleted — the
+    standing trade of RAM-disk shuffle dirs.
+    """
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/spark-graft-local"
+    return None
+
+
 def get_spark(
     cores: int | None = None,
     app_name: str = "langid_py_spark",
@@ -60,6 +87,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    local_dir = _default_local_dir()
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
