@@ -824,13 +824,18 @@ def q_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NO _spread here — re-measured r07 at sf1: the rebalance made the
-    # cheap sig UDF SLOWER (2.84 -> 4.21 s median), confirming the r04
-    # sf0.1 finding (1.27 -> 1.92 s) at 10x the rows: the band
-    # explode+groupBy downstream already spreads the work after one
-    # band-key exchange, and repartitioning the raw text first just adds
-    # a second full-text hop.
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    # NO _spread on the raw text — re-measured r07 at sf1: it made the
+    # query SLOWER (2.84 -> 4.21 s median), confirming the r04 sf0.1
+    # finding at 10x the rows (the full-text hop re-keys the sig cache).
+    # What DOES pay is spreading the slim persisted SIGNATURE table
+    # before the band explode when the scan under-splits (2.19 ->
+    # 1.63 s cache-warm) — gated on the same split estimate as _spread,
+    # so band_tasks=None (no-op) at production split counts.
+    docs = _t(spark, sf_dir, "documents")
+    p = spark.sparkContext.defaultParallelism
+    est = _estimate_scan_tasks(spark, docs)
+    band_tasks = p if (est is not None and est < p) else None
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, band_tasks=band_tasks)
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -690,8 +690,21 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     max_bucket: int | None = 500,
     persist_sigs: bool = True,
+    band_tasks: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified by signature similarity.
+
+    `band_tasks` (r07): rebalance the (persisted) SIGNATURE table to
+    this many partitions before the band explode. When the source scan
+    under-splits (single-row-group fixture parquet), the cached sig
+    table inherits ONE partition and the band explode + its shuffle
+    write serialize on one core; spreading the slim cached sigs (id +
+    n_hashes longs) is one bounded hop — measured 2.19 -> 1.63 s at sf1
+    cache-warm. Callers gate it on a scan-split estimate (see
+    q_minhash_pairs) so it stays None — a no-op — at production split
+    counts. (Rebalancing the raw TEXT before the sig UDF instead was
+    measured WORSE, 2.84 -> 4.21 s: it re-keys the cache and adds a
+    full-text hop.)
 
     Plan shape: map (signatures, persisted once) → explode to SLIM
     (id, band, band_hash) rows → self-equi-join on (band, band_hash) →
@@ -718,7 +731,8 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _band_explode(with_sig, "id", n_hashes, n_bands)
+    band_base = with_sig.repartition(band_tasks) if band_tasks else with_sig
+    bands = _band_explode(band_base, "id", n_hashes, n_bands)
     bands = _drop_hot_buckets(bands, ["band", "bhash"], max_bucket)
     left = bands.select("band", "bhash", F.col("id").alias("id_a"))
     right = bands.select("band", "bhash", F.col("id").alias("id_b"))
