@@ -139,13 +139,25 @@ def substring_dup_spans(
     )
     docs_txt = df.select(F.col(id_col), t.alias("_t"))
     w_hash = Window.partitionBy("ghash")
-    w_gram = Window.partitionBy("gram")
+    # Verify window partitions by (ghash, gram), NOT gram alone (r07,
+    # guide §2.4 "share one exchange"): equal gram strings always have
+    # equal ghash (= xxhash64(gram)), so the counts are IDENTICAL — but
+    # candidates leave the count window hash-partitioned by ghash, and
+    # HashPartitioning(ghash) satisfies the (ghash, gram) clustering
+    # requirement, so Spark inserts only a partition-local sort instead
+    # of re-shuffling every candidate's k-char gram string (the one
+    # candidate-scale exchange this operator had). Requires `cand` to
+    # carry ghash through the broadcast text re-join.
+    w_gram = Window.partitionBy("ghash", "gram")
 
     def _verify_window(cand: DataFrame) -> DataFrame:
         return (
             cand.join(docs_txt, id_col)
             .select(
-                id_col, "pos", F.substring("_t", F.col("pos") + 1, k).alias("gram")
+                id_col,
+                "pos",
+                "ghash",
+                F.substring("_t", F.col("pos") + 1, k).alias("gram"),
             )
             .withColumn("_n", F.count("*").over(w_gram))
             .filter(F.col("_n") >= 2)
@@ -156,7 +168,7 @@ def substring_dup_spans(
         cand = (
             pos_hash.withColumn("_n", F.count("*").over(w_hash))
             .filter(F.col("_n") >= 2)
-            .select(id_col, "pos")
+            .select(id_col, "pos", "ghash")
         )
         return _merge_spans(_verify_window(cand), gap=k, k=k, id_col=id_col)
 
@@ -188,7 +200,7 @@ def substring_dup_spans(
         pos_hash.join(hot, "ghash", "left_anti")
         .withColumn("_n", F.count("*").over(w_hash))
         .filter(F.col("_n") >= 2)
-        .select(id_col, "pos")
+        .select(id_col, "pos", "ghash")
     )
     hot_grams = (
         pos_hash.join(hot, "ghash")

@@ -307,10 +307,13 @@ def test_ngram_overlap_candidate_dedup_is_ids_only(spark):
 def test_substring_dup_spans_plans(spark):
     """Span dedup plan shape. Exact path: pure Catalyst (NO Python
     eval), corpus-scale shuffle carries the 8-byte ghash (never the
-    gram string or text); the gram-string exchange exists only at
-    candidate scale; merge reuses doc_id partitioning. Winnowed path:
-    one scan, one anchor UDF, no hash exchange at all (anchors are
-    pre-thinned so the gram string IS the join key)."""
+    gram string or text); since r07 the candidate-scale VERIFY window
+    partitions by (ghash, gram) so it reuses the ghash exchange with a
+    partition-local sort — NO gram-keyed exchange exists anywhere
+    (equal grams imply equal ghash, so the count is unchanged); merge
+    reuses doc_id partitioning. Winnowed path: one scan, one anchor
+    UDF, gram-keyed exchange only (anchors are pre-thinned so the gram
+    string IS the join key)."""
     import re
 
     from langid_py_spark.operators.spandedup import (
@@ -322,7 +325,9 @@ def test_substring_dup_spans_plans(spark):
     p = _plan(substring_dup_spans(docs, k=30))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p
     ex_keys = re.findall(r"Exchange hashpartitioning\(([^,)]+)", p)
-    assert sorted(k.split("#")[0] for k in ex_keys) == ["doc_id", "ghash", "gram"], ex_keys
+    assert sorted(k.split("#")[0] for k in ex_keys) == ["doc_id", "ghash"], ex_keys
+    # the verify window itself must still exist, on the composite key
+    assert re.search(r"windowspecdefinition\(ghash#\d+L?, gram#\d+", p), p
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "_t#" not in m.group(1), m.group(0)  # text never shuffles
     assert "CartesianProduct" not in p
@@ -376,11 +381,12 @@ def test_corpus_pipeline_composed_plan(spark):
     shuffle budget end-to-end. The plan STRING re-prints nested
     InMemoryRelation subtrees at every reference, so exchanges are
     counted by unique expression id — the set that actually executes:
-    one window exchange per dedup tier (doc-hash, line_hash, ghash,
-    gram verify), the 1-byte _bkt pack window, and a handful of doc_id
-    joins/rebuilds that share one partitioning. No cartesian, no
-    per-row Python (the one Python stage is cut_spans' Arrow UDF), no
-    single-partition collapse."""
+    one window exchange per dedup tier (doc-hash, line_hash, ghash —
+    since r07 the gram VERIFY window rides the ghash exchange with a
+    local sort instead of re-shuffling gram strings), the 1-byte _bkt
+    pack window, and a handful of doc_id joins/rebuilds that share one
+    partitioning. No cartesian, no per-row Python (the one Python
+    stage is cut_spans' Arrow UDF), no single-partition collapse."""
     import re
 
     import __spark_entry__ as e
@@ -396,7 +402,7 @@ def test_corpus_pipeline_composed_plan(spark):
     assert len(uniq) <= 10, (len(uniq), by_key)
     assert by_key.get("line_hash") == 1, by_key
     assert by_key.get("ghash") == 1, by_key
-    assert by_key.get("gram") == 1, by_key
+    assert "gram" not in by_key, by_key  # verify reuses the ghash exchange
     assert by_key.get("_bkt") == 1, by_key
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
